@@ -1,0 +1,343 @@
+"""Llama-architecture SpeechLM — functional JAX, scan-over-layers, GSPMD-ready.
+
+TPU-native counterpart of the reference's HF ``AutoModelForCausalLM`` wrapper
+(/root/reference/tts/core/modeling.py:15-55): same architecture family
+(Llama 3.2 1B / 3.1 8B) with the vocabulary resized to the fixed 193856-token
+speech vocab, but built as a pure-functional pytree model:
+
+- parameters are stacked over layers (leading L dim) and traversed with
+  ``lax.scan`` — O(1) compile time in depth, remat-friendly;
+- compute in bf16 with fp32 params / fp32 softmax+norms;
+- sharding is annotation-only (see parallel/sharding.py) — no FSDP wrappers.
+
+Weight import from HF safetensors lives in models/hf_import.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.core.constants import FIXED_VOCAB_SIZE
+from tts_max_tpu.ops.attention import causal_attention, decode_attention
+from tts_max_tpu.ops.norms import rms_norm
+from tts_max_tpu.ops.rope import apply_rope, rope_table
+
+Params = Any  # nested dict pytree
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = FIXED_VOCAB_SIZE
+    dim: int = 2048
+    n_layers: int = 16
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    head_dim: int = 64
+    ffn_dim: int = 8192
+    norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    use_llama3_rope_scaling: bool = True
+    max_seq_len: int = 2048
+    tie_embeddings: bool = True
+    dtype: Any = jnp.bfloat16  # compute dtype
+    remat: bool = False
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+
+def tiny_config(vocab_size: int = 512, max_seq_len: int = 256) -> LlamaConfig:
+    """Small config for tests/CI (CPU-friendly)."""
+    return LlamaConfig(
+        vocab_size=vocab_size,
+        dim=64,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=16,
+        ffn_dim=128,
+        rope_theta=10000.0,
+        use_llama3_rope_scaling=False,
+        max_seq_len=max_seq_len,
+        tie_embeddings=True,
+    )
+
+
+def llama32_1b_config(**over) -> LlamaConfig:
+    """Llama-3.2-1B-Instruct geometry (reference sft.json model_name)."""
+    return replace(
+        LlamaConfig(
+            vocab_size=FIXED_VOCAB_SIZE,
+            dim=2048,
+            n_layers=16,
+            n_heads=32,
+            n_kv_heads=8,
+            head_dim=64,
+            ffn_dim=8192,
+            rope_theta=500000.0,
+            use_llama3_rope_scaling=True,
+            tie_embeddings=True,
+        ),
+        **over,
+    )
+
+
+def llama31_8b_config(**over) -> LlamaConfig:
+    """Llama-3.1-8B-Instruct geometry (reference tokenization.py:7)."""
+    return replace(
+        LlamaConfig(
+            vocab_size=FIXED_VOCAB_SIZE,
+            dim=4096,
+            n_layers=32,
+            n_heads=32,
+            n_kv_heads=8,
+            head_dim=128,
+            ffn_dim=14336,
+            rope_theta=500000.0,
+            use_llama3_rope_scaling=True,
+            tie_embeddings=False,
+        ),
+        **over,
+    )
+
+
+ARCHITECTURES = {
+    "llama-tiny": tiny_config,
+    "llama-1b": llama32_1b_config,
+    "llama-3.2-1b": llama32_1b_config,
+    "llama-8b": llama31_8b_config,
+    "llama-3.1-8b": llama31_8b_config,
+}
+
+
+def config_for_architecture(name: str, **over) -> LlamaConfig:
+    if name not in ARCHITECTURES:
+        raise ValueError(f"unknown architecture {name!r}; have {sorted(ARCHITECTURES)}")
+    return ARCHITECTURES[name](**over)
+
+
+# --- init -------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    k_embed, k_layers, k_head = jax.random.split(rng, 3)
+
+    def dense(key, shape, in_dim):
+        return (jax.random.normal(key, shape) * (in_dim ** -0.5)).astype(dtype)
+
+    L = cfg.n_layers
+    lk = jax.random.split(k_layers, 7)
+    layers = {
+        "attn_norm": {"scale": jnp.ones((L, cfg.dim), dtype)},
+        "mlp_norm": {"scale": jnp.ones((L, cfg.dim), dtype)},
+        "attn": {
+            "wq": {"kernel": dense(lk[0], (L, cfg.dim, cfg.q_dim), cfg.dim)},
+            "wk": {"kernel": dense(lk[1], (L, cfg.dim, cfg.kv_dim), cfg.dim)},
+            "wv": {"kernel": dense(lk[2], (L, cfg.dim, cfg.kv_dim), cfg.dim)},
+            "wo": {"kernel": dense(lk[3], (L, cfg.q_dim, cfg.dim), cfg.q_dim)},
+        },
+        "mlp": {
+            "w_gate": {"kernel": dense(lk[4], (L, cfg.dim, cfg.ffn_dim), cfg.dim)},
+            "w_up": {"kernel": dense(lk[5], (L, cfg.dim, cfg.ffn_dim), cfg.dim)},
+            "w_down": {"kernel": dense(lk[6], (L, cfg.ffn_dim, cfg.dim), cfg.ffn_dim)},
+        },
+    }
+    params = {
+        "embed": {
+            "embedding": (
+                jax.random.normal(k_embed, (cfg.vocab_size, cfg.dim)) * 0.02
+            ).astype(dtype)
+        },
+        "layers": layers,
+        "norm": {"scale": jnp.ones((cfg.dim,), dtype)},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {
+            "kernel": dense(k_head, (cfg.dim, cfg.vocab_size), cfg.dim)
+        }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# --- forward ----------------------------------------------------------------
+
+
+def _attn_block(h, lp, cos, sin, cfg: LlamaConfig):
+    b, s, _ = h.shape
+    x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
+    q = (x @ lp["attn"]["wq"]["kernel"].astype(x.dtype)).reshape(
+        b, s, cfg.n_heads, cfg.head_dim
+    )
+    k = (x @ lp["attn"]["wk"]["kernel"].astype(x.dtype)).reshape(
+        b, s, cfg.n_kv_heads, cfg.head_dim
+    )
+    v = (x @ lp["attn"]["wv"]["kernel"].astype(x.dtype)).reshape(
+        b, s, cfg.n_kv_heads, cfg.head_dim
+    )
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o = causal_attention(q, k, v)
+    o = o.reshape(b, s, cfg.q_dim) @ lp["attn"]["wo"]["kernel"].astype(x.dtype)
+    return h + o, k, v
+
+
+def _mlp_block(h, lp, cfg: LlamaConfig):
+    x = rms_norm(h, lp["mlp_norm"]["scale"], cfg.norm_eps)
+    gate = x @ lp["mlp"]["w_gate"]["kernel"].astype(x.dtype)
+    up = x @ lp["mlp"]["w_up"]["kernel"].astype(x.dtype)
+    return h + (jax.nn.silu(gate) * up) @ lp["mlp"]["w_down"]["kernel"].astype(x.dtype)
+
+
+def _decoder_layer(h, lp, cos, sin, cfg: LlamaConfig):
+    h, _, _ = _attn_block(h, lp, cos, sin, cfg)
+    return _mlp_block(h, lp, cfg)
+
+
+def _logits(h, params, cfg: LlamaConfig):
+    h = rms_norm(h, params["norm"]["scale"], cfg.norm_eps)
+    if cfg.tie_embeddings:
+        w = params["embed"]["embedding"].astype(h.dtype).T
+    else:
+        w = params["lm_head"]["kernel"].astype(h.dtype)
+    return (h @ w).astype(jnp.float32)
+
+
+def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Full-sequence causal forward: tokens [B, S] -> logits [B, S, V] (fp32)."""
+    cos, sin = rope_table(
+        cfg.head_dim, tokens.shape[1], cfg.rope_theta, cfg.use_llama3_rope_scaling
+    )
+    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)
+
+    def layer_fn(carry, lp):
+        return _decoder_layer(carry, lp, cos, sin, cfg), None
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
+    h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+    return _logits(h, params, cfg)
+
+
+# --- KV-cached generation ---------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(
+    params: Params,
+    cfg: LlamaConfig,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cache,
+):
+    """Process right-padded prompts [B, S]; fill cache[:, :, :S]; return
+    (last-real-token logits [B, V], cache).
+
+    Padded key/value slots within [real_len, S) are later overwritten by
+    decode_step (which writes at index ``lengths``), so they are never
+    attended to.
+    """
+    b, s = tokens.shape
+    cos, sin = rope_table(
+        cfg.head_dim, s, cfg.rope_theta, cfg.use_llama3_rope_scaling
+    )
+    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)
+
+    def layer_fn(carry, lp):
+        h, = carry
+        h, k, v = _attn_block(h, lp, cos, sin, cfg)
+        h = _mlp_block(h, lp, cfg)
+        return (h,), (k, v)
+
+    (h,), (ks, vs) = jax.lax.scan(layer_fn, (h,), params["layers"])
+    max_len = cache["k"].shape[2]
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)
+        ),
+    }
+    logits = _logits(h, params, cfg)
+    last = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1
+    ).squeeze(1)
+    return last, cache
+
+
+def decode_step(
+    params: Params,
+    cfg: LlamaConfig,
+    cache,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+):
+    """One AR decode step.
+
+    tokens: [B] new token ids; lengths: [B] valid cache entries BEFORE this
+    token (also its position index). Returns (logits [B, V], new cache);
+    caller increments lengths.
+    """
+    b = tokens.shape[0]
+    cos, sin = rope_table(
+        cfg.head_dim, cache["k"].shape[2], cfg.rope_theta, cfg.use_llama3_rope_scaling
+    )
+    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)  # [B, D]
+    pos_cos = jnp.take(cos, lengths, axis=0)[:, None, :]  # [B, 1, hd/2]
+    pos_sin = jnp.take(sin, lengths, axis=0)[:, None, :]
+    batch_idx = jnp.arange(b)
+
+    def rope1(x):  # x: [B, H, D] single position
+        xf = x.astype(jnp.float32)
+        half = xf.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        out = jnp.concatenate(
+            [x1 * pos_cos - x2 * pos_sin, x2 * pos_cos + x1 * pos_sin], axis=-1
+        )
+        return out.astype(x.dtype)
+
+    def layer_fn(carry, scanned):
+        h, = carry
+        lp, k_cache, v_cache = scanned
+        x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
+        q = (x @ lp["attn"]["wq"]["kernel"].astype(x.dtype)).reshape(
+            b, cfg.n_heads, cfg.head_dim
+        )
+        k = (x @ lp["attn"]["wk"]["kernel"].astype(x.dtype)).reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        v = (x @ lp["attn"]["wv"]["kernel"].astype(x.dtype)).reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        q, k = rope1(q), rope1(k)
+        k_cache = k_cache.at[batch_idx, lengths].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, lengths].set(v.astype(v_cache.dtype))
+        o = decode_attention(q, k_cache, v_cache, lengths + 1).astype(h.dtype)
+        h = h + o.reshape(b, cfg.q_dim) @ lp["attn"]["wo"]["kernel"].astype(x.dtype)
+        h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
+        return (h,), (k_cache, v_cache)
+
+    (h,), (ks, vs) = jax.lax.scan(
+        layer_fn, (h,), (params["layers"], cache["k"], cache["v"])
+    )
+    logits = _logits(h[:, None, :], params, cfg)[:, 0]
+    return logits, {"k": ks, "v": vs}

@@ -1,0 +1,101 @@
+"""Attention ops — the TPU replacement for flash-attn 2 CUDA kernels
+(reference modeling.py:15,37 hard-requires flash_attention_2).
+
+Training path: ``jax.nn.dot_product_attention``, which lowers to the XLA/TPU
+fused attention (cuDNN/TPU flash) when available, with a Pallas splash-style
+kernel available behind ``implementation='pallas'`` (ops/pallas_attention.py).
+
+Decode path: single-step attention against a padded KV cache with a length
+mask (paged/ragged Pallas kernel in inference.engine for serving).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, S, n_kv, D] -> [B, S, n_kv * n_rep, D] for GQA."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    implementation: str | None = None,
+) -> jnp.ndarray:
+    """Causal self-attention for training.
+
+    q: [B, S, Hq, D]; k, v: [B, S, Hkv, D] (GQA broadcast handled internally).
+    Returns [B, S, Hq, D]. Softmax in fp32.
+    """
+    n_rep = q.shape[2] // k.shape[2]
+    try:
+        return jax.nn.dot_product_attention(
+            q, k, v, is_causal=True, implementation=implementation
+        )
+    except (NotImplementedError, ValueError, TypeError):
+        pass
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    return _causal_attention_xla(q, k, v)
+
+
+def _causal_attention_xla(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    s = q.shape[1]
+    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+    logits = jnp.where(mask[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Non-causal attention (Vocos backbone, reference decoder_modules.py:283)."""
+    try:
+        return jax.nn.dot_product_attention(q, k, v)
+    except (NotImplementedError, ValueError, TypeError):
+        scale = q.shape[-1] ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """One-token decode attention against a padded KV cache.
+
+    q: [B, Hq, D] (the new token's query)
+    k_cache/v_cache: [B, max_len, Hkv, D] — positions >= lengths are garbage.
+    lengths: [B] number of valid cache entries (including the new token).
+    Returns [B, Hq, D].
+    """
+    b, max_len, hkv, d = k_cache.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    scale = d ** -0.5
+    # [B, max_len, Hkv, n_rep] logits via einsum on grouped heads
+    qg = q.reshape(b, hkv, n_rep, d)
+    logits = jnp.einsum("bgrd,bkgd->bgrk", qg, k_cache).astype(jnp.float32) * scale
+    pos = jnp.arange(max_len)[None, None, None, :]
+    mask = pos < lengths[:, None, None, None]
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bgrk,bkgd->bgrd", probs, v_cache)
+    return out.reshape(b, hq, d)

@@ -1,0 +1,113 @@
+"""On-device token sampling with the reference sampler surface
+(/root/reference/tts/inference/inferencing.py:15-40): temperature, top-k,
+top-p, repetition penalty (HF convention), frequency penalty (vLLM/OpenAI
+convention). Everything is static-shape and jit-safe; token-count state rides
+in a [B, V] buffer updated per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Defaults mirror reference InferenceSettings (inferencing.py:15-40)."""
+
+    temperature: float = 0.8
+    top_k: int = 50
+    top_p: float = 1.0
+    repetition_penalty: float = 1.1
+    frequency_penalty: float = 0.3
+    max_new_tokens: int = 1792
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray, token_counts: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """HF-style repetition penalty: for any token already seen (count > 0),
+    positive logits are divided by ``penalty`` and negative multiplied."""
+    if penalty == 1.0:
+        return logits
+    seen = token_counts > 0
+    scaled = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, scaled, logits)
+
+
+def apply_frequency_penalty(
+    logits: jnp.ndarray, gen_counts: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """OpenAI/vLLM-style: logits -= penalty * count(token in generation)."""
+    if penalty == 0.0:
+        return logits
+    return logits - penalty * gen_counts.astype(logits.dtype)
+
+
+def top_k_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k largest logits per row, -inf elsewhere. k<=0 disables."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def top_p_mask(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering: keep the smallest set of tokens with cumulative
+    probability >= p (the top token always survives)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of tokens to keep per row: first index where cum >= p, inclusive
+    keep_sorted = cum - probs < p
+    # threshold = smallest logit kept
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    params: SamplingParams,
+    token_counts: jnp.ndarray | None = None,
+    gen_counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sample next token ids [B] from logits [B, V] with all penalties.
+
+    ``token_counts``: counts over prompt+generation (repetition penalty).
+    ``gen_counts``: counts over generation only (frequency penalty).
+    """
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_repetition_penalty(
+            logits, token_counts, params.repetition_penalty
+        )
+    if gen_counts is not None:
+        logits = apply_frequency_penalty(logits, gen_counts, params.frequency_penalty)
+    if params.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / params.temperature
+    logits = top_k_mask(logits, params.top_k)
+    logits = top_p_mask(logits, params.top_p)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def update_counts(counts: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """counts: [B, V] += one-hot(tokens [B]) — scatter-add, static shape."""
+    b = counts.shape[0]
+    return counts.at[jnp.arange(b), tokens].add(1)
+
+
+def counts_from_tokens(tokens: jnp.ndarray, mask: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """Build [B, V] counts from a [B, S] token matrix with validity mask."""
+    b, s = tokens.shape
+    counts = jnp.zeros((b, vocab), dtype=jnp.int32)
+    return counts.at[
+        jnp.repeat(jnp.arange(b), s), tokens.reshape(-1)
+    ].add(mask.reshape(-1).astype(jnp.int32))

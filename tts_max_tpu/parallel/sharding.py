@@ -23,17 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tts_max_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
 
-# (path regex, spec) — first match wins. Paths look like
-# "layers/3/attn/wq" (joined pytree path).
+# (path regex, spec) — first match wins. Layer params are STACKED over a
+# leading n_layers dim (scan-over-layers layout, models/llama.py), hence the
+# leading None on "layers/..." rules. Paths look like "layers/attn/wq/kernel".
 LLAMA_PARTITION_RULES: tuple[tuple[str, P], ...] = (
     (r"embed/embedding$", P(TENSOR_AXIS, FSDP_AXIS)),
     (r"lm_head/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r"attn/wq/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r"attn/wk/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r"attn/wv/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r"layers/attn/w[qkv]/kernel$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"layers/attn/wo/kernel$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"layers/mlp/w_(gate|up)/kernel$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"layers/mlp/w_down/kernel$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    # unstacked variants (single-layer modules, e.g. codec transformer blocks)
+    (r"attn/w[qkv]/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
     (r"attn/wo/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),
-    (r"mlp/w_gate/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r"mlp/w_up/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r"mlp/w_(gate|up)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
     (r"mlp/w_down/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),
     (r"norm/scale$", P()),
     (r".*", P()),
