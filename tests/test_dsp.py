@@ -1,0 +1,86 @@
+"""DSP op tests: STFT parity vs torch, ISTFT roundtrip, overlap-add, mel bank."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.ops import stft as dsp
+
+
+def _rand_wav(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((1, n)).astype(np.float32)
+
+
+def test_hann_matches_torch():
+    import torch
+
+    np.testing.assert_allclose(
+        dsp.hann_window(1280), torch.hann_window(1280).numpy(), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("n_fft,hop", [(256, 64), (1280, 320), (512, 128)])
+def test_stft_matches_torch(n_fft, hop):
+    import torch
+
+    x = _rand_wav(4000)
+    ours = np.asarray(dsp.stft(jnp.asarray(x), n_fft, hop))
+    ref = torch.stft(
+        torch.from_numpy(x),
+        n_fft=n_fft,
+        hop_length=hop,
+        window=torch.hann_window(n_fft),
+        center=True,
+        return_complex=True,
+    ).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_overlap_add_matches_naive():
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((2, 7, 64)).astype(np.float32)
+    hop = 16
+    ours = np.asarray(dsp.overlap_add(jnp.asarray(frames), hop))
+    # naive fold
+    out_len = 6 * hop + 64
+    naive = np.zeros((2, out_len), dtype=np.float32)
+    for t in range(7):
+        naive[:, t * hop : t * hop + 64] += frames[:, t]
+    np.testing.assert_allclose(ours, naive, atol=1e-5)
+
+
+def test_istft_same_roundtrip():
+    """stft -> istft_same reconstructs the signal (interior; edges are
+    affected by the same-padding crop)."""
+    n_fft, hop = 1280, 320
+    x = _rand_wav(320 * 20)  # 20 frames
+    # the 'same' istft expects spec frames covering T*hop samples:
+    # build spec with center=True then trim to T frames
+    spec = dsp.stft(jnp.asarray(x), n_fft, hop, center=True)
+    # center-stft yields 1 + L/hop frames; same-istft of T frames -> T*hop
+    y = np.asarray(dsp.istft_same(spec, n_fft, hop))
+    # alignment: y[s] == x[s - hop/2] (center-pad n_fft/2 minus same-crop
+    # pad (n_fft-hop)/2). Compare a 2000-sample interior window.
+    off = hop // 2
+    lo, hi = 2 * n_fft, 2 * n_fft + 2000
+    np.testing.assert_allclose(y[:, lo:hi], x[:, lo - off : hi - off], atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = dsp.mel_filterbank(16000, 1024, 80)
+    assert fb.shape == (513, 80)
+    assert (fb >= 0).all()
+    # every filter has some support
+    assert (fb.sum(axis=0) > 0).all()
+    # slaney norm: peak decreases with bandwidth growth at high freq
+    assert fb.max() < 0.05
+
+
+def test_mel_spectrogram_shapes():
+    x = jnp.asarray(_rand_wav(16000))
+    m = dsp.mel_spectrogram(x, 16000, 1024, 256, 80)
+    assert m.shape == (1, 80, 1 + 16000 // 256)
+    assert np.isfinite(np.asarray(m)).all()
