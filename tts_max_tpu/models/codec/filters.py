@@ -1,0 +1,158 @@
+"""Alias-free DSP blocks: Kaiser-windowed sinc resampling + Snake activations.
+
+Re-design of the reference's alias-free-torch stack
+(/root/reference/tts/core/codec/filters.py:15-135, activations.py:8-110):
+an anti-aliased up-2×/activation/down-2× sandwich around periodic
+Snake/SnakeBeta activations, all channel-last ([B, T, C]) depthwise XLA convs.
+
+Filter taps are computed host-side (numpy) once per (ratio, kernel_size) and
+closed over as constants — XLA folds them into the conv.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kaiser_beta(half_size: int, half_width: float) -> float:
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a >= 21.0:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+@functools.lru_cache(maxsize=64)
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Windowed-sinc low-pass taps, sum-normalized. Returns [kernel_size].
+
+    Mirrors reference filters.py:15-46 (incl. the guard for cutoff == 0,
+    never hit with the ratios in use).
+    """
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    beta = kaiser_beta(half_size, half_width)
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, dtype=np.float32)
+    taps = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    taps /= taps.sum()
+    return taps.astype(np.float32)
+
+
+def _depthwise_conv(x: jnp.ndarray, taps: np.ndarray, stride: int) -> jnp.ndarray:
+    """x: [B, T, C]; same taps applied per channel (grouped conv)."""
+    c = x.shape[-1]
+    k = jnp.asarray(taps)[:, None, None] * jnp.ones((1, 1, c), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        k.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+
+
+def lowpass1d(
+    x: jnp.ndarray,
+    cutoff: float = 0.5,
+    half_width: float = 0.6,
+    stride: int = 1,
+    kernel_size: int = 12,
+) -> jnp.ndarray:
+    """Replicate-padded low-pass (reference LowPassFilter1d, filters.py:49-84)."""
+    even = kernel_size % 2 == 0
+    pad_left = kernel_size // 2 - int(even)
+    pad_right = kernel_size // 2
+    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    taps = kaiser_sinc_filter1d(cutoff, half_width, kernel_size)
+    return _depthwise_conv(x, taps, stride)
+
+
+def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
+    """Anti-aliased ratio× upsample (reference UpSample1d, filters.py:87-115).
+
+    Implemented as zero-stuffing + depthwise conv (equivalent to the
+    reference's transposed grouped conv, but XLA-friendlier via lhs dilation).
+    """
+    kernel_size = kernel_size or int(6 * ratio // 2) * 2
+    stride = ratio
+    pad = kernel_size // ratio - 1
+    pad_left = pad * stride + (kernel_size - stride) // 2
+    pad_right = pad * stride + (kernel_size - stride + 1) // 2
+    taps = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
+    c = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # conv_transpose == lhs-dilated conv with flipped taps (taps are symmetric
+    # only for odd sizes; flip explicitly to match conv_transpose semantics)
+    k = jnp.asarray(taps[::-1].copy())[:, None, None] * jnp.ones((1, 1, c), x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        k.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(kernel_size - 1, kernel_size - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+    y = ratio * y
+    return y[:, pad_left:-pad_right]
+
+
+def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
+    """Anti-aliased ratio× downsample (reference DownSample1d, filters.py:118-135)."""
+    kernel_size = kernel_size or int(6 * ratio // 2) * 2
+    return lowpass1d(
+        x, cutoff=0.5 / ratio, half_width=0.6 / ratio, stride=ratio, kernel_size=kernel_size
+    )
+
+
+# --- snake activations (reference activations.py:8-82) ----------------------
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray, logscale: bool = True) -> jnp.ndarray:
+    """x + (1/α)·sin²(αx); alpha per-channel [C], x [B, T, C]."""
+    a = jnp.exp(alpha) if logscale else alpha
+    a = a.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = xf + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(xf * a))
+    return y.astype(x.dtype)
+
+
+def snake_beta(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool = True
+) -> jnp.ndarray:
+    """x + (1/β)·sin²(αx) (SnakeBeta, activations.py:44-82)."""
+    a = jnp.exp(alpha) if logscale else alpha
+    b = jnp.exp(beta) if logscale else beta
+    xf = x.astype(jnp.float32)
+    y = xf + (1.0 / (b.astype(jnp.float32) + 1e-9)) * jnp.square(
+        jnp.sin(xf * a.astype(jnp.float32))
+    )
+    return y.astype(x.dtype)
+
+
+def init_snake_beta(channels: int, dtype=jnp.float32):
+    """Log-scale init: zeros (reference activations.py:55-57)."""
+    return {"alpha": jnp.zeros((channels,), dtype), "beta": jnp.zeros((channels,), dtype)}
+
+
+def activation1d(x: jnp.ndarray, p, up_ratio: int = 2, down_ratio: int = 2,
+                 up_kernel: int = 12, down_kernel: int = 12) -> jnp.ndarray:
+    """Anti-aliased activation: up-2× → SnakeBeta → down-2×
+    (reference Activation1d, activations.py:85-110)."""
+    x = upsample1d(x, up_ratio, up_kernel)
+    x = snake_beta(x, p["alpha"], p["beta"])
+    return downsample1d(x, down_ratio, down_kernel)

@@ -33,14 +33,15 @@ def group_norm(
     num_groups: int,
     eps: float = 1e-6,
 ) -> jnp.ndarray:
-    """GroupNorm over the channel (last) axis of [..., C] tensors
-    (codec ResnetBlocks, reference decoder_modules.py:173-181)."""
+    """GroupNorm over [B, T, C] (torch semantics: statistics are computed per
+    (batch, group) over ALL spatial positions and the group's channels).
+    Used by codec ResnetBlocks (reference decoder_modules.py:156-181)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    c = xf.shape[-1]
-    g = xf.reshape(*xf.shape[:-1], num_groups, c // num_groups)
-    mean = jnp.mean(g, axis=-1, keepdims=True)
-    var = jnp.var(g, axis=-1, keepdims=True)
+    b, t, c = xf.shape
+    g = xf.reshape(b, t, num_groups, c // num_groups)
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 3), keepdims=True)
     g = (g - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
-    y = g.reshape(xf.shape)
+    y = g.reshape(b, t, c)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
