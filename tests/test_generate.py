@@ -1,0 +1,115 @@
+"""Generation loop tests: shapes, EOS early-exit, determinism, penalties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.inference.generate import generate, make_generate_fn
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _prompt(b, s, cfg, seed=0):
+    toks = jax.random.randint(jax.random.PRNGKey(seed), (b, s), 3, cfg.vocab_size)
+    return toks, jnp.full((b,), s, dtype=jnp.int32)
+
+
+def test_generate_shapes_and_budget(tiny):
+    cfg, params = tiny
+    toks, lens = _prompt(2, 8, cfg)
+    res = generate(
+        params, cfg, toks, lens, jax.random.PRNGKey(1),
+        sp=sampling.SamplingParams(temperature=1.0, top_k=0,
+                                   repetition_penalty=1.0, frequency_penalty=0.0),
+        max_new_tokens=12, eos_id=1,
+    )
+    assert res.tokens.shape == (2, 12)
+    assert (np.asarray(res.num_generated) <= 12).all()
+    assert int(res.steps) <= 12
+
+
+def test_generate_eos_early_exit(tiny):
+    """Declare the model's own first greedy token as EOS: the loop must stop
+    after emitting it instead of running the full budget."""
+    cfg, params = tiny
+    toks, lens = _prompt(1, 4, cfg)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    probe = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                     max_new_tokens=1, eos_id=-1)
+    first = int(probe.tokens[0, 0])
+    res = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                   max_new_tokens=16, eos_id=first)
+    assert int(res.steps) < 16  # early exit
+    assert int(res.tokens[0, 0]) == first
+    assert int(res.num_generated[0]) == 1
+    # everything after EOS is pad
+    assert (np.asarray(res.tokens[0, 1:]) == 0).all()
+
+
+def test_generate_deterministic_same_key(tiny):
+    cfg, params = tiny
+    toks, lens = _prompt(1, 6, cfg, seed=2)
+    sp = sampling.SamplingParams(temperature=0.9, top_k=20)
+    r1 = generate(params, cfg, toks, lens, jax.random.PRNGKey(7), sp=sp,
+                  max_new_tokens=10, eos_id=1)
+    r2 = generate(params, cfg, toks, lens, jax.random.PRNGKey(7), sp=sp,
+                  max_new_tokens=10, eos_id=1)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+def test_generate_matches_greedy_forward(tiny):
+    """Greedy generation must equal step-by-step argmax over full forwards."""
+    cfg, params = tiny
+    toks, lens = _prompt(1, 5, cfg, seed=3)
+    res = generate(
+        params, cfg, toks, lens, jax.random.PRNGKey(0),
+        sp=sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                   frequency_penalty=0.0),
+        max_new_tokens=6, eos_id=-1,
+    )
+    seq = np.asarray(toks[0]).tolist()
+    for t in range(6):
+        logits = llama.forward(params, cfg, jnp.asarray([seq]))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        seq.append(nxt)
+    np.testing.assert_array_equal(np.asarray(res.tokens[0]), seq[5:])
+
+
+def test_repetition_penalty_reduces_repeats(tiny):
+    cfg, params = tiny
+    toks, lens = _prompt(1, 4, cfg, seed=4)
+    no_pen = generate(
+        params, cfg, toks, lens, jax.random.PRNGKey(5),
+        sp=sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                   frequency_penalty=0.0),
+        max_new_tokens=20, eos_id=-1,
+    )
+    pen = generate(
+        params, cfg, toks, lens, jax.random.PRNGKey(5),
+        sp=sampling.SamplingParams(temperature=0.0, repetition_penalty=1.5,
+                                   frequency_penalty=1.0),
+        max_new_tokens=20, eos_id=-1,
+    )
+    def repeats(a):
+        a = np.asarray(a).ravel()
+        return len(a) - len(np.unique(a))
+    assert repeats(pen.tokens) <= repeats(no_pen.tokens)
+
+
+def test_jitted_generate(tiny):
+    cfg, params = tiny
+    fn = make_generate_fn(
+        cfg, sampling.SamplingParams(temperature=0.0), max_new_tokens=8, eos_id=1
+    )
+    toks, lens = _prompt(2, 6, cfg, seed=6)
+    res = fn(params, toks, lens, jax.random.PRNGKey(0))
+    assert res.tokens.shape == (2, 8)

@@ -1,0 +1,124 @@
+"""Training step tests: loss math, accumulation, clipping, sharded execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.models import llama
+from tts_max_tpu.training import optim, train_step as ts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.tiny_config(vocab_size=128, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.create_optimizer(1e-3)
+    opt_state = tx.init(params)
+    return cfg, params, tx, opt_state
+
+
+def _batch(cfg, accum=1, b=4, L=16, seed=0):
+    k = jax.random.PRNGKey(seed)
+    ids = jax.random.randint(k, (accum, b, L), 0, cfg.vocab_size)
+    labels = ids.at[:, :, :4].set(-100)  # mask a prompt region
+    return {"input_ids": ids, "labels": labels}
+
+
+def test_causal_lm_loss_masking():
+    logits = jnp.zeros((1, 4, 8))  # uniform -> loss = log(8)
+    labels = jnp.array([[-100, 2, -100, 5]])
+    loss, toks = ts.causal_lm_loss(logits, labels)
+    # shifted: targets = labels[1:] = [2, -100, 5] -> 2 valid tokens
+    assert int(toks) == 2
+    np.testing.assert_allclose(float(loss), np.log(8), atol=1e-5)
+
+
+def test_all_masked_loss_is_zero():
+    logits = jnp.zeros((1, 4, 8))
+    labels = jnp.full((1, 4), -100)
+    loss, toks = ts.causal_lm_loss(logits, labels)
+    assert int(toks) == 0 and float(loss) == 0.0
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, params, tx, opt_state = setup
+    batch = _batch(cfg)
+    p, o = params, opt_state
+    losses = []
+    for _ in range(8):
+        p, o, m = ts.train_step(p, o, batch, cfg=cfg, tx=tx)
+        losses.append(float(m.loss))
+        assert float(m.nonfinite) == 0.0
+    assert losses[-1] < losses[0] * 0.9  # same batch -> loss must drop
+
+
+def test_gradient_accumulation_equivalence(setup):
+    """A=2 accumulation over [b1; b2] must give the same update direction as
+    A=1 over the concatenated batch (identical per-micro-batch token counts)."""
+    cfg, params, _, _ = setup
+    import optax
+
+    # SGD so the param delta is proportional to the averaged gradient
+    # (adam's first step is ~sign(g), amplifying fp noise on tiny grads)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(params)
+    big = _batch(cfg, accum=1, b=8, L=16, seed=3)
+    split = {
+        "input_ids": big["input_ids"].reshape(2, 4, 16),
+        "labels": big["labels"].reshape(2, 4, 16),
+    }
+    p1, _, m1 = ts.train_step(params, opt_state, big, cfg=cfg, tx=tx)
+    p2, _, m2 = ts.train_step(params, opt_state, split, cfg=cfg, tx=tx)
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+    d1 = jax.tree_util.tree_leaves(p1)[0] - jax.tree_util.tree_leaves(params)[0]
+    d2 = jax.tree_util.tree_leaves(p2)[0] - jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-6)
+
+
+def test_nonfinite_guard(setup):
+    cfg, params, tx, opt_state = setup
+    bad = jax.tree_util.tree_map(lambda p: p, params)
+    bad["norm"]["scale"] = bad["norm"]["scale"] * jnp.nan
+    batch = _batch(cfg)
+    p, o, m = ts.train_step(bad, opt_state, batch, cfg=cfg, tx=tx)
+    assert float(m.nonfinite) == 1.0
+    # params unchanged (update skipped)
+    np.testing.assert_array_equal(
+        np.asarray(p["embed"]["embedding"]), np.asarray(bad["embed"]["embedding"])
+    )
+
+
+def test_cosine_schedule_reference_parity():
+    # exact values from the reference formula (optimization.py:37-52)
+    sched = optim.cosine_warmup_schedule(1e-3, warmup_steps=10, lr_decay_steps=110)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    # midpoint of cosine: (start+peak)/2 = 5.5e-4
+    np.testing.assert_allclose(float(sched(60)), 5.5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(110)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(500)), 1e-4, rtol=1e-5)
+    with pytest.raises(ValueError):
+        optim.cosine_warmup_schedule(1e-3, 10, 10)
+
+
+def test_sharded_train_step(mesh8):
+    """The same step compiled with NamedShardings on the 2x2x2 mesh must run
+    and match the unsharded numerics."""
+    cfg = llama.tiny_config(vocab_size=128, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.create_optimizer(1e-3)
+    opt_state = tx.init(params)
+    batch = _batch(cfg, accum=2, b=4, L=16, seed=1)
+
+    _, _, m_ref = ts.train_step(params, opt_state, batch, cfg=cfg, tx=tx)
+
+    step = ts.make_train_step(mesh8, cfg, tx, params)
+    p2 = jax.device_put(params, ts.params_shardings(params, mesh8))
+    o2 = jax.device_put(opt_state, ts._opt_state_shardings(tx, params,
+                                                           ts.params_shardings(params, mesh8), mesh8))
+    b2 = jax.device_put(batch, {k: ts.data_sh_axis1(mesh8) for k in batch})
+    p_new, o_new, m = step(p2, o2, b2)
+    np.testing.assert_allclose(float(m.loss), float(m_ref.loss), rtol=1e-4)
+    assert float(m.nonfinite) == 0.0

@@ -1,0 +1,177 @@
+"""Jitted, GSPMD-sharded SpeechLM training step.
+
+Replaces the reference micro-batch loop body
+(/root/reference/tts/training/training_loop.py:102-169): one jitted call
+performs all gradient-accumulation micro-steps (lax.scan), global-norm
+clipping with a non-finite guard, and the AdamW update. Collectives
+(grad allreduce ≡ DDP, sharded optimizer state ≡ ZeRO) are inserted by XLA
+from the NamedSharding annotations — there is no no_backward_sync / fabric
+machinery to port.
+
+The non-finite guard mirrors ``error_if_nonfinite=True``
+(training_loop.py:163-165): JAX cannot raise inside jit, so a non-finite
+global grad norm SKIPS the update and reports ``nonfinite=1`` for the host
+loop to act on (checkpoint + stop, same contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tts_max_tpu.core.constants import LOSS_IGNORE_TOKEN_ID
+from tts_max_tpu.models import llama
+from tts_max_tpu.parallel.sharding import batch_sharding, params_shardings
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray  # mean loss over micro-steps
+    grad_norm: jnp.ndarray
+    nonfinite: jnp.ndarray  # 1.0 if the update was skipped
+    tokens: jnp.ndarray  # number of loss tokens
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """HF-convention shifted cross entropy: logits[:, :-1] predict labels[:, 1:];
+    -100 positions are ignored; mean over valid tokens."""
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    valid = targets != LOSS_IGNORE_TOKEN_ID
+    safe_targets = jnp.where(valid, targets, 0)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logprobs, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    n = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / n, valid.sum()
+
+
+def loss_fn(params, cfg: llama.LlamaConfig, batch) -> tuple[jnp.ndarray, jnp.ndarray]:
+    logits = llama.forward(params, cfg, batch["input_ids"])
+    return causal_lm_loss(logits, batch["labels"])
+
+
+def train_step(
+    params,
+    opt_state,
+    batch,
+    *,
+    cfg: llama.LlamaConfig,
+    tx: optax.GradientTransformation,
+    gradient_clip_value: float = 1.0,
+):
+    """One optimizer step over a macro-batch.
+
+    batch: {"input_ids": [A, B, L], "labels": [A, B, L]} — A = gradient
+    accumulation micro-steps (A=1 for no accumulation).
+    """
+
+    def micro(carry, mb):
+        grad_sum, loss_sum, tok_sum = carry
+        (loss, toks), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, mb
+        )
+        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+        return (grad_sum, loss_sum + loss, tok_sum + toks), None
+
+    accum = batch["input_ids"].shape[0]
+    zero_grads = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params
+    )
+    (grads, loss_sum, tok_sum), _ = jax.lax.scan(
+        micro, (zero_grads, jnp.zeros(()), jnp.zeros((), jnp.int32)), batch
+    )
+    grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+    loss = loss_sum / accum
+
+    gnorm = optax.global_norm(grads)
+    finite = jnp.isfinite(gnorm)
+    scale = jnp.where(
+        finite & (gnorm > gradient_clip_value), gradient_clip_value / gnorm, 1.0
+    )
+    grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # skip the whole update if the grad norm went non-finite
+    new_params, new_opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old),
+        (new_params, new_opt_state),
+        (params, opt_state),
+    )
+    metrics = StepMetrics(
+        loss=loss,
+        grad_norm=gnorm,
+        nonfinite=(~finite).astype(jnp.float32),
+        tokens=tok_sum,
+    )
+    return new_params, new_opt_state, metrics
+
+
+def eval_step(params, batch, *, cfg: llama.LlamaConfig):
+    """Loss on one eval micro-batch [B, L]."""
+    loss, toks = loss_fn(params, cfg, batch)
+    return loss, toks
+
+
+def make_train_step(mesh, cfg: llama.LlamaConfig, tx, params,
+                    gradient_clip_value: float = 1.0):
+    """Build the jitted sharded step: params/opt-state shardings from the
+    partition rules, batch over (data, fsdp); donated for in-place update."""
+    p_shardings = params_shardings(params, mesh)
+    opt_shardings = _opt_state_shardings(tx, params, p_shardings, mesh)
+    batch_shardings = {"input_ids": data_sh_axis1(mesh), "labels": data_sh_axis1(mesh)}
+
+    step = functools.partial(
+        train_step, cfg=cfg, tx=tx, gradient_clip_value=gradient_clip_value
+    )
+    return jax.jit(
+        step,
+        in_shardings=(p_shardings, opt_shardings, batch_shardings),
+        out_shardings=(p_shardings, opt_shardings, None),
+        donate_argnums=(0, 1),
+    )
+
+
+def data_sh_axis1(mesh):
+    """Macro-batches are [A, B, L]: shard the *second* axis (B) over
+    (data, fsdp); A (accumulation) stays unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tts_max_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+    return NamedSharding(mesh, P(None, (DATA_AXIS, FSDP_AXIS)))
+
+
+def _opt_state_shardings(tx, params, p_shardings, mesh):
+    """Shard optimizer-state leaves like their matching parameter (ZeRO): any
+    leaf with a param-shaped counterpart inherits the param sharding;
+    scalars (step counts) replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shapes = jax.eval_shape(tx.init, params)
+    flat_params, _ = jax.tree_util.tree_flatten(params)
+    flat_shard, _ = jax.tree_util.tree_flatten(p_shardings)
+    by_shape = {}
+    for p, s in zip(flat_params, flat_shard):
+        by_shape.setdefault(tuple(p.shape), s)
+
+    def leaf_sharding(leaf):
+        s = by_shape.get(tuple(leaf.shape))
+        return s if s is not None else NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, shapes)
+
+
+def make_eval_step(mesh, cfg: llama.LlamaConfig, params):
+    p_shardings = params_shardings(params, mesh)
+    data_sh = batch_sharding(mesh)
+    return jax.jit(
+        functools.partial(eval_step, cfg=cfg),
+        in_shardings=(p_shardings, {"input_ids": data_sh, "labels": data_sh}),
+    )
