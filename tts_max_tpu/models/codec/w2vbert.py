@@ -1,0 +1,360 @@
+"""wav2vec-BERT 2.0 conformer encoder — JAX, scan-over-layers.
+
+The codec's semantic stream uses facebook/w2v-bert-2.0 hidden layer 16
+(reference /root/reference/tts/core/codec/encoder.py:51-64). This is a
+from-scratch JAX implementation of the HF ``Wav2Vec2BertModel`` architecture
+(relative_key position embeddings, conformer blocks with half-step FFN
+residuals and causal depthwise conv), running only the first
+``num_layers_to_run`` layers — the codec needs 16 of 24, a 33% FLOP saving
+the reference leaves on the table.
+
+Feature extraction (kaldi-style log-mel, povey window, stride-2 stacking)
+happens host-side via transformers' numpy SeamlessM4TFeatureExtractor —
+same dependency-free-of-torch path the reference uses on CPU
+(encoder.py:115-128).
+
+Weight import: HF state dict (torch .bin/.safetensors) → stacked pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.models.codec.vocos import conv1d
+from tts_max_tpu.ops.norms import layer_norm
+
+
+@dataclass(frozen=True)
+class W2VBertConfig:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    feature_dim: int = 160  # 80 mels x 2 stacked frames
+    left_max_pos: int = 64
+    right_max_pos: int = 8
+    conv_kernel: int = 31
+    layer_norm_eps: float = 1e-5
+    num_layers_to_run: int = 16  # codec uses hidden_states[16]
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_distance_embeddings(self) -> int:
+        return self.left_max_pos + self.right_max_pos + 1
+
+
+def tiny_w2vbert_config() -> W2VBertConfig:
+    return W2VBertConfig(
+        hidden_size=32,
+        num_layers=3,
+        num_heads=4,
+        intermediate_size=64,
+        feature_dim=16,
+        left_max_pos=8,
+        right_max_pos=2,
+        conv_kernel=7,
+        num_layers_to_run=2,
+    )
+
+
+# --- init -------------------------------------------------------------------
+
+
+def _ln(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_params(rng: jax.Array, cfg: W2VBertConfig, dtype=jnp.float32):
+    L, D, F, I = cfg.num_layers, cfg.hidden_size, cfg.feature_dim, cfg.intermediate_size
+    ks = jax.random.split(rng, 12)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape) * fan_in**-0.5).astype(dtype)
+
+    def stacked_ln(d):
+        return {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)}
+
+    def ffn(k1, k2):
+        return {
+            "intermediate": {
+                "kernel": dense(k1, (L, D, I), D),
+                "bias": jnp.zeros((L, I), dtype),
+            },
+            "output": {
+                "kernel": dense(k2, (L, I, D), I),
+                "bias": jnp.zeros((L, D), dtype),
+            },
+        }
+
+    layers = {
+        "ffn1_ln": stacked_ln(D),
+        "ffn1": ffn(ks[0], ks[1]),
+        "attn_ln": stacked_ln(D),
+        "attn": {
+            "q": {"kernel": dense(ks[2], (L, D, D), D), "bias": jnp.zeros((L, D), dtype)},
+            "k": {"kernel": dense(ks[3], (L, D, D), D), "bias": jnp.zeros((L, D), dtype)},
+            "v": {"kernel": dense(ks[4], (L, D, D), D), "bias": jnp.zeros((L, D), dtype)},
+            "out": {"kernel": dense(ks[5], (L, D, D), D), "bias": jnp.zeros((L, D), dtype)},
+            "distance_embedding": dense(
+                ks[6], (L, cfg.num_distance_embeddings, cfg.head_size), cfg.head_size
+            ),
+        },
+        "conv_ln": stacked_ln(D),
+        "conv": {
+            "pw1": {"kernel": dense(ks[7], (L, 1, D, 2 * D), D)},
+            "dw": {"kernel": dense(ks[8], (L, cfg.conv_kernel, 1, D), cfg.conv_kernel)},
+            "dw_ln": stacked_ln(D),
+            "pw2": {"kernel": dense(ks[9], (L, 1, D, D), D)},
+        },
+        "ffn2_ln": stacked_ln(D),
+        "ffn2": ffn(ks[10], ks[11]),
+        "final_ln": stacked_ln(D),
+    }
+    return {
+        "feature_projection": {
+            "layer_norm": _ln(F, dtype),
+            "projection": {
+                "kernel": dense(jax.random.fold_in(rng, 99), (F, D), F),
+                "bias": jnp.zeros((D,), dtype),
+            },
+        },
+        "layers": layers,
+    }
+
+
+# --- forward ----------------------------------------------------------------
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _ffn_apply(x, p, i_none=None):
+    h = x @ p["intermediate"]["kernel"].astype(x.dtype) + p["intermediate"]["bias"].astype(x.dtype)
+    h = _swish(h)
+    return h @ p["output"]["kernel"].astype(x.dtype) + p["output"]["bias"].astype(x.dtype)
+
+
+def _attention(x, lp, cfg: W2VBertConfig):
+    b, t, d = x.shape
+    h, hs = cfg.num_heads, cfg.head_size
+    q = (x @ lp["q"]["kernel"].astype(x.dtype) + lp["q"]["bias"].astype(x.dtype)).reshape(b, t, h, hs)
+    k = (x @ lp["k"]["kernel"].astype(x.dtype) + lp["k"]["bias"].astype(x.dtype)).reshape(b, t, h, hs)
+    v = (x @ lp["v"]["kernel"].astype(x.dtype) + lp["v"]["bias"].astype(x.dtype)).reshape(b, t, h, hs)
+    scale = hs**-0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    # relative_key position term (HF Wav2Vec2BertSelfAttention, relative_key)
+    pos = jnp.arange(t)
+    distance = jnp.clip(pos[None, :] - pos[:, None], -cfg.left_max_pos, cfg.right_max_pos)
+    pos_emb = lp["distance_embedding"][distance + cfg.left_max_pos]  # [t, t, hs]
+    rel = jnp.einsum("bqhd,qkd->bhqk", q.astype(jnp.float32), pos_emb.astype(jnp.float32))
+    scores = scores + rel * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
+    return o @ lp["out"]["kernel"].astype(x.dtype) + lp["out"]["bias"].astype(x.dtype)
+
+
+def _conv_module(x, lp, cfg: W2VBertConfig, eps):
+    h = conv1d(x, {"kernel": lp["pw1"]["kernel"]})  # [B, T, 2D]
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # GLU
+    # causal left pad
+    h = jnp.pad(h, ((0, 0), (cfg.conv_kernel - 1, 0), (0, 0)))
+    h = conv1d(h, {"kernel": lp["dw"]["kernel"]}, groups=cfg.hidden_size)
+    h = layer_norm(h, lp["dw_ln"]["scale"], lp["dw_ln"]["bias"], eps)
+    h = _swish(h)
+    return conv1d(h, {"kernel": lp["pw2"]["kernel"]})
+
+
+def encode(params, feats: jnp.ndarray, cfg: W2VBertConfig,
+            num_layers: int | None = None) -> jnp.ndarray:
+    """feats [B, T, feature_dim] -> hidden states [B, T, hidden] after
+    ``num_layers`` conformer layers (defaults to cfg.num_layers_to_run,
+    reproducing ``hidden_states[16]``)."""
+    num_layers = num_layers if num_layers is not None else cfg.num_layers_to_run
+    eps = cfg.layer_norm_eps
+    fp = params["feature_projection"]
+    x = layer_norm(feats, fp["layer_norm"]["scale"], fp["layer_norm"]["bias"], eps)
+    x = x @ fp["projection"]["kernel"].astype(x.dtype) + fp["projection"]["bias"].astype(x.dtype)
+
+    sliced = jax.tree_util.tree_map(lambda a: a[:num_layers], params["layers"])
+
+    def block(h, lp):
+        r = h
+        y = layer_norm(h, lp["ffn1_ln"]["scale"], lp["ffn1_ln"]["bias"], eps)
+        h = r + 0.5 * _ffn_apply(y, lp["ffn1"])
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"], eps)
+        h = r + _attention(y, lp["attn"], cfg)
+        r = h
+        y = layer_norm(h, lp["conv_ln"]["scale"], lp["conv_ln"]["bias"], eps)
+        h = r + _conv_module(y, lp["conv"], cfg, eps)
+        r = h
+        y = layer_norm(h, lp["ffn2_ln"]["scale"], lp["ffn2_ln"]["bias"], eps)
+        h = r + 0.5 * _ffn_apply(y, lp["ffn2"])
+        h = layer_norm(h, lp["final_ln"]["scale"], lp["final_ln"]["bias"], eps)
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, sliced)
+    return x
+
+
+# --- HF weight import -------------------------------------------------------
+
+
+def import_hf_state_dict(sd: Mapping[str, np.ndarray], cfg: W2VBertConfig) -> dict:
+    """HF Wav2Vec2BertModel state dict -> stacked pytree (first cfg.num_layers)."""
+
+    def g(name):
+        for prefix in ("", "wav2vec2_bert.", "model."):
+            if prefix + name in sd:
+                v = sd[prefix + name]
+                return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        raise KeyError(name)
+
+    L = cfg.num_layers
+
+    def stack(fmt, transform=lambda x: x):
+        return np.stack([transform(g(fmt.format(i))) for i in range(L)])
+
+    def st_ln(base):
+        return {
+            "scale": stack(base + ".weight"),
+            "bias": stack(base + ".bias"),
+        }
+
+    def st_linear(base):
+        return {
+            "kernel": stack(base + ".weight", lambda w: w.T),
+            "bias": stack(base + ".bias"),
+        }
+
+    lyr = "encoder.layers.{}"
+    layers = {
+        "ffn1_ln": st_ln(lyr + ".ffn1_layer_norm"),
+        "ffn1": {
+            "intermediate": st_linear(lyr + ".ffn1.intermediate_dense"),
+            "output": st_linear(lyr + ".ffn1.output_dense"),
+        },
+        "attn_ln": st_ln(lyr + ".self_attn_layer_norm"),
+        "attn": {
+            "q": st_linear(lyr + ".self_attn.linear_q"),
+            "k": st_linear(lyr + ".self_attn.linear_k"),
+            "v": st_linear(lyr + ".self_attn.linear_v"),
+            "out": st_linear(lyr + ".self_attn.linear_out"),
+            "distance_embedding": stack(
+                lyr + ".self_attn.distance_embedding.weight"
+            ),
+        },
+        "conv_ln": st_ln(lyr + ".conv_module.layer_norm"),
+        "conv": {
+            # torch Conv1d [Cout, Cin, K] -> [K, Cin, Cout]; pw convs K=1
+            "pw1": {
+                "kernel": stack(
+                    lyr + ".conv_module.pointwise_conv1.weight",
+                    lambda w: np.transpose(w, (2, 1, 0)),
+                )
+            },
+            # depthwise [C, 1, K] -> [K, 1, C]
+            "dw": {
+                "kernel": stack(
+                    lyr + ".conv_module.depthwise_conv.weight",
+                    lambda w: np.transpose(w, (2, 1, 0)),
+                )
+            },
+            "dw_ln": st_ln(lyr + ".conv_module.depthwise_layer_norm"),
+            "pw2": {
+                "kernel": stack(
+                    lyr + ".conv_module.pointwise_conv2.weight",
+                    lambda w: np.transpose(w, (2, 1, 0)),
+                )
+            },
+        },
+        "ffn2_ln": st_ln(lyr + ".ffn2_layer_norm"),
+        "ffn2": {
+            "intermediate": st_linear(lyr + ".ffn2.intermediate_dense"),
+            "output": st_linear(lyr + ".ffn2.output_dense"),
+        },
+        "final_ln": st_ln(lyr + ".final_layer_norm"),
+    }
+    return {
+        "feature_projection": {
+            "layer_norm": {
+                "scale": g("feature_projection.layer_norm.weight"),
+                "bias": g("feature_projection.layer_norm.bias"),
+            },
+            "projection": {
+                "kernel": g("feature_projection.projection.weight").T,
+                "bias": g("feature_projection.projection.bias"),
+            },
+        },
+        "layers": layers,
+    }
+
+
+# --- host-side feature extraction -------------------------------------------
+
+
+def extract_features(wav: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+    """waveform [B, L] float -> stacked log-mel features [B, T, 160].
+
+    Uses transformers' numpy SeamlessM4TFeatureExtractor (the exact extractor
+    the reference calls, encoder.py:121-123)."""
+    from transformers import SeamlessM4TFeatureExtractor
+
+    fe = _get_feature_extractor()
+    out = fe(
+        [np.asarray(w, dtype=np.float32) for w in wav],
+        sampling_rate=sample_rate,
+        return_tensors="np",
+    )
+    return out["input_features"]
+
+
+_FE = None
+
+
+def _get_feature_extractor():
+    global _FE
+    if _FE is None:
+        from transformers import SeamlessM4TFeatureExtractor
+
+        _FE = SeamlessM4TFeatureExtractor()
+    return _FE
+
+
+def default_semantic_fn(checkpoint_path: str | None = None, params=None,
+                        cfg: W2VBertConfig | None = None):
+    """Build ``semantic_fn(padded_wav [B, L]) -> feats [B, T, 1024]`` for the
+    codec AudioEncoder: half-hop reflect pad (reference encoder.py:120) →
+    kaldi fbank features → 16 conformer layers."""
+    from tts_max_tpu.core.constants import CODEC_HOP_LENGTH
+
+    cfg = cfg or W2VBertConfig()
+    if params is None:
+        if checkpoint_path is None:
+            raise ValueError(
+                "w2v-bert weights required: pass params or a checkpoint path"
+            )
+        import torch
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+        params = jax.tree_util.tree_map(jnp.asarray, import_hf_state_dict(sd, cfg))
+    run = jax.jit(lambda p, f: encode(p, f, cfg))
+
+    half_hop = CODEC_HOP_LENGTH // 2
+
+    def semantic_fn(wav: np.ndarray) -> jnp.ndarray:
+        padded = np.pad(wav, ((0, 0), (half_hop, half_hop)))
+        feats = extract_features(padded)
+        return run(params, jnp.asarray(feats))
+
+    return semantic_fn
