@@ -1,0 +1,84 @@
+"""HF Llama import golden-parity tests vs the installed transformers torch impl."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tts_max_tpu.models import hf_import, llama
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def hf_model_dir(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=128,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    d = tmp_path_factory.mktemp("hf_llama")
+    model.save_pretrained(str(d))
+    return str(d), model
+
+
+def test_import_logits_parity(hf_model_dir):
+    d, hf_model = hf_model_dir
+    params, cfg = hf_import.load_model_from_hf_dir(d)
+    assert cfg.dim == 64 and cfg.n_layers == 2 and not cfg.tie_embeddings
+    ids = np.array([[1, 5, 9, 200, 3, 17]], dtype=np.int64)
+    with torch.no_grad():
+        ref = hf_model(input_ids=torch.from_numpy(ids)).logits.numpy()
+    cfg = llama.replace(cfg, dtype=jnp.float32)
+    ours = np.asarray(
+        llama.forward(jax.tree_util.tree_map(jnp.asarray, params), cfg, jnp.asarray(ids))
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_export_roundtrip(hf_model_dir, tmp_path):
+    d, _ = hf_model_dir
+    params, cfg = hf_import.load_model_from_hf_dir(d)
+    out = str(tmp_path / "export")
+    hf_import.save_model_to_hf_dir(params, cfg, out, eos_token_id=42)
+    params2, cfg2 = hf_import.load_model_from_hf_dir(out)
+    assert cfg2.dim == cfg.dim
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    import json, os
+
+    with open(os.path.join(out, "config.json")) as f:
+        assert json.load(f)["eos_token_id"] == 42
+
+
+def test_resize_embeddings(hf_model_dir):
+    d, _ = hf_model_dir
+    params, cfg = hf_import.load_model_from_hf_dir(d, vocab_size=300)
+    assert cfg.vocab_size == 300
+    assert params["embed"]["embedding"].shape == (300, 64)
+    assert params["lm_head"]["kernel"].shape == (64, 300)
+    # new rows centered on the old mean
+    emb = np.asarray(params["embed"]["embedding"])
+    np.testing.assert_allclose(
+        emb[256:].mean(axis=0), emb[:256].mean(axis=0), atol=0.02
+    )
+    # still runs
+    cfg = llama.replace(cfg, dtype=jnp.float32)
+    logits = llama.forward(
+        jax.tree_util.tree_map(jnp.asarray, params), cfg, jnp.zeros((1, 4), jnp.int32)
+    )
+    assert logits.shape == (1, 4, 300)
