@@ -1,0 +1,196 @@
+"""GAN discriminators for codec training — channel-last JAX.
+
+Re-design of the reference discriminators
+(/root/reference/tts/core/codec/discriminator.py): HiFiGAN multi-period
+discriminator (periods 2/3/5/7/11, 2D convs over period-folded waveforms)
+and the multi-resolution SpecDiscriminator (8 STFT resolutions, fft sizes
+78…2296 set at reference decoder.py:356-369). Each discriminator returns the
+per-layer feature list (for feature-matching loss) with the final logits
+last, mirroring the reference output structure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.ops.stft import hann_window, stft
+
+
+@dataclass(frozen=True)
+class MPDConfig:
+    periods: tuple[int, ...] = (2, 3, 5, 7, 11)
+    channels: int = 16
+    channel_increasing_factor: int = 4
+    max_downsample_channels: int = 512
+    kernel_sizes: tuple[int, int] = (5, 3)
+    downsample_scales: tuple[int, ...] = (3, 3, 3, 3, 1)
+    leaky_slope: float = 0.1
+
+
+@dataclass(frozen=True)
+class MSDConfig:
+    fft_sizes: tuple[int, ...] = (78, 126, 206, 334, 542, 876, 1418, 2296)
+    hop_sizes: tuple[int, ...] = (39, 63, 103, 167, 271, 438, 709, 1148)
+    win_lengths: tuple[int, ...] = (78, 126, 206, 334, 542, 876, 1418, 2296)
+    channels: int = 32
+    max_downsample_channels: int = 512
+    kernel_sizes: tuple[int, int] = (5, 3)
+    downsample_scales: tuple[int, ...] = (2, 2, 2)
+    leaky_slope: float = 0.2
+
+
+def tiny_mpd_config() -> MPDConfig:
+    return MPDConfig(periods=(2, 3), channels=4, max_downsample_channels=16,
+                     downsample_scales=(3, 3, 1))
+
+
+def tiny_msd_config() -> MSDConfig:
+    return MSDConfig(fft_sizes=(78, 126), hop_sizes=(39, 63),
+                     win_lengths=(78, 126), channels=4,
+                     max_downsample_channels=16, downsample_scales=(2, 2))
+
+
+def conv2d(x: jnp.ndarray, p, stride=(1, 1), padding=((0, 0), (0, 0))) -> jnp.ndarray:
+    """NHWC conv2d; p["kernel"]: [kh, kw, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _init_conv2d(key, kh, kw, cin, cout, dtype=jnp.float32):
+    return {
+        "kernel": (jax.random.normal(key, (kh, kw, cin, cout)) * 0.02).astype(dtype),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+# --- period discriminator ---------------------------------------------------
+
+
+def init_period_discriminator(key, cfg: MPDConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, len(cfg.downsample_scales) + 1)
+    convs = []
+    in_chs, out_chs = 1, cfg.channels
+    k0, k1 = cfg.kernel_sizes
+    for i, _ in enumerate(cfg.downsample_scales):
+        convs.append(_init_conv2d(ks[i], k0, 1, in_chs, out_chs, dtype))
+        in_chs = out_chs
+        out_chs = min(out_chs * cfg.channel_increasing_factor,
+                      cfg.max_downsample_channels)
+    out = _init_conv2d(ks[-1], k1 - 1, 1, in_chs, 1, dtype)
+    return {"convs": convs, "out": out}
+
+
+def period_discriminator(wav: jnp.ndarray, p, period: int, cfg: MPDConfig):
+    """wav [B, T] -> list of per-layer features (+ final flat logits)."""
+    b, t = wav.shape
+    if t % period != 0:
+        n_pad = period - (t % period)
+        wav = jnp.pad(wav, ((0, 0), (0, n_pad)), mode="reflect")
+        t += n_pad
+    x = wav.reshape(b, t // period, period, 1)  # NHWC: H=t/p, W=period
+    k0, k1 = cfg.kernel_sizes
+    outs = []
+    for conv, scale in zip(p["convs"], cfg.downsample_scales):
+        x = conv2d(x, conv, stride=(scale, 1),
+                   padding=(((k0 - 1) // 2, (k0 - 1) // 2), (0, 0)))
+        x = _leaky(x, cfg.leaky_slope)
+        outs.append(x)
+    x = conv2d(x, p["out"], padding=(((k1 - 1) // 2, (k1 - 1) // 2), (0, 0)))
+    outs.append(x.reshape(b, -1))
+    return outs
+
+
+def init_mpd(key, cfg: MPDConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, len(cfg.periods))
+    return [init_period_discriminator(k, cfg, dtype) for k in ks]
+
+
+def mpd(wav: jnp.ndarray, params, cfg: MPDConfig):
+    """[B, T] -> list (per period) of per-layer feature lists."""
+    return [
+        period_discriminator(wav, p, period, cfg)
+        for p, period in zip(params, cfg.periods)
+    ]
+
+
+# --- spectral discriminator -------------------------------------------------
+
+
+def init_nlayer_spec_discriminator(key, cfg: MSDConfig, dtype=jnp.float32):
+    k0, k1 = cfg.kernel_sizes
+    n = len(cfg.downsample_scales)
+    ks = jax.random.split(key, n + 3)
+    layers = [_init_conv2d(ks[0], k0, k0, 1, cfg.channels, dtype)]
+    in_chs = cfg.channels
+    for i, scale in enumerate(cfg.downsample_scales):
+        out_chs = min(in_chs * scale, cfg.max_downsample_channels)
+        layers.append(
+            _init_conv2d(ks[i + 1], scale * 2 + 1, scale * 2 + 1, in_chs, out_chs, dtype)
+        )
+        in_chs = out_chs
+    out_chs = min(in_chs * 2, cfg.max_downsample_channels)
+    layers.append(_init_conv2d(ks[n + 1], k1, k1, in_chs, out_chs, dtype))
+    layers.append(_init_conv2d(ks[n + 2], k1, k1, out_chs, 1, dtype))
+    return {"layers": layers}
+
+
+def nlayer_spec_discriminator(spec: jnp.ndarray, p, cfg: MSDConfig):
+    """spec [B, F, T, 1] NHWC -> per-layer features (+ final logits)."""
+    k0, k1 = cfg.kernel_sizes
+    x = spec
+    outs = []
+    layers = p["layers"]
+    x = conv2d(x, layers[0], stride=(2, 2),
+               padding=((k0 // 2, k0 // 2), (k0 // 2, k0 // 2)))
+    x = _leaky(x, cfg.leaky_slope)
+    outs.append(x)
+    for conv, scale in zip(layers[1:-2], cfg.downsample_scales):
+        x = conv2d(x, conv, stride=(scale, scale),
+                   padding=((scale, scale), (scale, scale)))
+        x = _leaky(x, cfg.leaky_slope)
+        outs.append(x)
+    x = conv2d(x, layers[-2], padding=((k1 // 2, k1 // 2), (k1 // 2, k1 // 2)))
+    x = _leaky(x, cfg.leaky_slope)
+    outs.append(x)
+    x = conv2d(x, layers[-1], padding=((k1 // 2, k1 // 2), (k1 // 2, k1 // 2)))
+    outs.append(x)
+    return outs
+
+
+def init_msd(key, cfg: MSDConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, len(cfg.fft_sizes))
+    return [init_nlayer_spec_discriminator(k, cfg, dtype) for k in ks]
+
+
+def _magnitude_spec(wav: jnp.ndarray, fft: int, hop: int, win: int) -> jnp.ndarray:
+    """Clamped magnitude STFT (reference discriminator.py:14-45): [B, F, T, 1]."""
+    s = stft(wav, fft, hop, win, hann_window(win))
+    mag = jnp.sqrt(jnp.clip(jnp.real(s) ** 2 + jnp.imag(s) ** 2, 1e-7, 1e3))
+    return mag[..., None]  # [B, F, T, 1]
+
+
+def msd(wav: jnp.ndarray, params, cfg: MSDConfig):
+    """[B, T] -> list (per resolution) of per-layer feature lists."""
+    outs = []
+    for p, fft, hop, win in zip(
+        params, cfg.fft_sizes, cfg.hop_sizes, cfg.win_lengths
+    ):
+        spec = _magnitude_spec(wav, fft, hop, win)
+        outs.append(nlayer_spec_discriminator(spec, p, cfg))
+    return outs

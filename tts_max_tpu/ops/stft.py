@@ -136,7 +136,9 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     lin = f / (200.0 / 3)
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, 15.0 + np.log(f / min_log_hz) / logstep, lin)
+    with np.errstate(divide="ignore"):
+        log_part = 15.0 + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep
+    return np.where(f >= min_log_hz, log_part, lin)
 
 
 def _mel_to_hz_slaney(m):
