@@ -1,0 +1,110 @@
+"""Continuous-batching engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.inference.engine import InferenceEngine
+from tts_max_tpu.inference.generate import generate
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops.sampling import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=256)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _greedy_sp():
+    return SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                          frequency_penalty=0.0)
+
+
+def test_engine_single_request_matches_generate(setup):
+    cfg, params = setup
+    engine = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                             sp=_greedy_sp())
+    prompt = np.array([5, 9, 42, 7, 3], dtype=np.int32)
+    [comp] = engine.generate_all([prompt], max_new_tokens=8, eos_id=-1)
+    assert comp.finish_reason == "length"
+    assert len(comp.tokens) == 8
+
+    # reference: the monolithic jitted generate (greedy, same model)
+    ref = generate(
+        params, cfg, jnp.asarray(np.pad(prompt, (0, 64 - 5))[None]),
+        jnp.asarray([5], jnp.int32), jax.random.PRNGKey(0),
+        sp=_greedy_sp(), max_new_tokens=8, eos_id=-1, cache_len=128,
+    )
+    np.testing.assert_array_equal(comp.tokens, np.asarray(ref.tokens[0]))
+
+
+def test_engine_concurrent_requests_match_individual(setup):
+    """Three greedy requests running concurrently in the pool must produce
+    the same tokens as each run alone — slot isolation."""
+    cfg, params = setup
+    prompts = [
+        np.array([1, 2, 3], dtype=np.int32),
+        np.array([10, 20, 30, 40, 50, 60], dtype=np.int32),
+        np.array([7], dtype=np.int32),
+    ]
+    engine = InferenceEngine(params, cfg, max_batch=4, max_len=128,
+                             sp=_greedy_sp())
+    batch_results = engine.generate_all(prompts, max_new_tokens=6, eos_id=-1)
+
+    for p, res in zip(prompts, batch_results):
+        solo = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                               sp=_greedy_sp())
+        [ref] = solo.generate_all([p], max_new_tokens=6, eos_id=-1)
+        np.testing.assert_array_equal(res.tokens, ref.tokens)
+
+
+def test_engine_continuous_admission(setup):
+    """A request submitted mid-flight joins without disturbing the running
+    one (continuous batching semantics)."""
+    cfg, params = setup
+    engine = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                             sp=_greedy_sp())
+    p1 = np.array([4, 5, 6], dtype=np.int32)
+    p2 = np.array([8, 9], dtype=np.int32)
+    engine.submit(p1, max_new_tokens=10, eos_id=-1)
+    # run 4 steps, then admit the second request mid-generation
+    for _ in range(4):
+        engine.step()
+    engine.submit(p2, max_new_tokens=5, eos_id=-1)
+    done = engine.run()
+    assert len(done) == 2
+    by_id = {c.request_id: c for c in done}
+    # compare against solo runs
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    [r1] = solo.generate_all([p1], max_new_tokens=10, eos_id=-1)
+    solo2 = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    [r2] = solo2.generate_all([p2], max_new_tokens=5, eos_id=-1)
+    np.testing.assert_array_equal(by_id[0].tokens, r1.tokens)
+    np.testing.assert_array_equal(by_id[1].tokens, r2.tokens)
+
+
+def test_engine_queue_overflow_and_slot_reuse(setup):
+    """More requests than slots: the queue drains as slots free."""
+    cfg, params = setup
+    engine = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                             sp=_greedy_sp())
+    prompts = [np.array([i + 1, i + 2], dtype=np.int32) for i in range(5)]
+    done = engine.generate_all(prompts, max_new_tokens=4, eos_id=-1)
+    assert len(done) == 5
+    assert all(len(c.tokens) == 4 for c in done)
+
+
+def test_engine_eos_stops_early(setup):
+    cfg, params = setup
+    # find greedy first token, then declare it EOS
+    engine = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    p = np.array([11, 12, 13], dtype=np.int32)
+    [probe] = engine.generate_all([p], max_new_tokens=3, eos_id=-1)
+    first = int(probe.tokens[0])
+    engine2 = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    [res] = engine2.generate_all([p], max_new_tokens=10, eos_id=first)
+    assert res.finish_reason == "eos"
+    assert len(res.tokens) == 1

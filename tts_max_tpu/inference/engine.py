@@ -1,0 +1,269 @@
+"""Continuous-batching inference engine — the TPU-native vLLM replacement.
+
+The reference serves RLHF generation and end-user inference through vLLM
+(CUDA paged attention + continuous batching, reference inferencing.py:75-92,
+run_rlhf_combine.sh:60). Here the same capability is built on the jitted
+decode step:
+
+- a fixed pool of ``max_batch`` slots shares one KV cache
+  [L, max_batch, max_len, Hkv, D];
+- new requests are admitted BETWEEN decode steps: a batch-1 prefill fills
+  the slot's cache region (no pause for other slots);
+- every decode step advances all active slots in lockstep (one jitted
+  program; finished/empty slots are masked);
+- finished sequences free their slot immediately.
+
+Static shapes throughout: the engine compiles one prefill program per prompt
+bucket and exactly one decode program.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops import sampling
+from tts_max_tpu.ops.sampling import SamplingParams
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt_tokens: np.ndarray  # [S] int32
+    max_new_tokens: int
+    eos_id: int
+    sampling_seed: int = 0
+
+
+@dataclass
+class Completion:
+    request_id: int
+    tokens: np.ndarray  # generated ids (eos included if emitted)
+    finish_reason: str  # "eos" | "length"
+
+
+@dataclass
+class _Slot:
+    request: Request | None = None
+    generated: list[int] = field(default_factory=list)
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params: Any,
+        cfg: llama.LlamaConfig,
+        *,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        sp: SamplingParams = SamplingParams(),
+        pad_id: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.sp = sp
+        self.pad_id = pad_id
+
+        self.cache = llama.init_kv_cache(cfg, max_batch, max_len)
+        self.lengths = jnp.zeros((max_batch,), jnp.int32)
+        self.last_logits = jnp.zeros((max_batch, cfg.vocab_size), jnp.float32)
+        self.active = jnp.zeros((max_batch,), dtype=bool)
+        self.token_counts = jnp.zeros((max_batch, cfg.vocab_size), jnp.int32)
+        self.gen_counts = jnp.zeros((max_batch, cfg.vocab_size), jnp.int32)
+        self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
+        self.budgets = jnp.zeros((max_batch,), jnp.int32)
+        self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
+
+        self._slots = [_Slot() for _ in range(max_batch)]
+        self._queue: collections.deque[Request] = collections.deque()
+        self._finished: list[Completion] = []
+        self._ids = itertools.count()
+        self._prefill_cache: dict[int, Callable] = {}
+        self._decode = jax.jit(self._decode_step)
+
+    # --- public API ---------------------------------------------------------
+
+    def submit(
+        self,
+        prompt_tokens,
+        max_new_tokens: int,
+        eos_id: int,
+        sampling_seed: int = 0,
+    ) -> int:
+        rid = next(self._ids)
+        self._queue.append(
+            Request(
+                rid,
+                np.asarray(prompt_tokens, dtype=np.int32),
+                max_new_tokens,
+                eos_id,
+                sampling_seed,
+            )
+        )
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self._queue) or any(s.request for s in self._slots)
+
+    def step(self) -> list[Completion]:
+        """Admit queued requests into free slots, run ONE decode step for all
+        active slots, collect finished completions."""
+        self._admit()
+        if any(s.request for s in self._slots):
+            self._run_decode()
+        out, self._finished = self._finished, []
+        return out
+
+    def run(self) -> list[Completion]:
+        done: list[Completion] = []
+        while self.has_work():
+            done.extend(self.step())
+        return done
+
+    def generate_all(self, prompts, max_new_tokens: int, eos_id: int,
+                     seed: int = 0) -> list[Completion]:
+        ids = [
+            self.submit(p, max_new_tokens, eos_id, sampling_seed=seed + i)
+            for i, p in enumerate(prompts)
+        ]
+        by_id = {c.request_id: c for c in self.run()}
+        return [by_id[i] for i in ids]
+
+    # --- internals ----------------------------------------------------------
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_cache:
+
+            def fn(params, cache, tokens, length, slot, token_counts):
+                # batch-1 prefill into a fresh region, scattered into the pool
+                small = {
+                    "k": jnp.zeros(
+                        (self.cfg.n_layers, 1, bucket, self.cfg.n_kv_heads,
+                         self.cfg.head_dim),
+                        cache["k"].dtype,
+                    ),
+                    "v": jnp.zeros(
+                        (self.cfg.n_layers, 1, bucket, self.cfg.n_kv_heads,
+                         self.cfg.head_dim),
+                        cache["v"].dtype,
+                    ),
+                }
+                logits, small = llama.prefill(
+                    params, self.cfg, tokens, length, small
+                )
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], small["k"], (0, slot, 0, 0, 0)
+                    ),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], small["v"], (0, slot, 0, 0, 0)
+                    ),
+                }
+                mask = jnp.arange(bucket)[None, :] < length[:, None]
+                counts = sampling.counts_from_tokens(
+                    tokens, mask, self.cfg.vocab_size
+                )
+                token_counts = jax.lax.dynamic_update_slice(
+                    token_counts, counts, (slot, 0)
+                )
+                return logits[0], cache, token_counts
+
+            self._prefill_cache[bucket] = jax.jit(fn)
+        return self._prefill_cache[bucket]
+
+    def _admit(self) -> None:
+        for slot_idx, slot in enumerate(self._slots):
+            if slot.request is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            n = len(req.prompt_tokens)
+            if n + req.max_new_tokens > self.max_len:
+                raise ValueError(
+                    f"request {req.request_id}: prompt {n} + budget "
+                    f"{req.max_new_tokens} exceeds max_len {self.max_len}"
+                )
+            bucket = _bucket(n)
+            padded = np.zeros((1, bucket), dtype=np.int32)
+            padded[0, :n] = req.prompt_tokens
+            logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
+                self.params,
+                self.cache,
+                jnp.asarray(padded),
+                jnp.asarray([n], jnp.int32),
+                slot_idx,
+                self.token_counts,
+            )
+            self.last_logits = self.last_logits.at[slot_idx].set(logits)
+            self.lengths = self.lengths.at[slot_idx].set(n)
+            self.active = self.active.at[slot_idx].set(True)
+            self.gen_counts = self.gen_counts.at[slot_idx].set(0)
+            self.eos_ids = self.eos_ids.at[slot_idx].set(req.eos_id)
+            self.budgets = self.budgets.at[slot_idx].set(req.max_new_tokens)
+            self.rngs = self.rngs.at[slot_idx].set(
+                jax.random.PRNGKey(req.sampling_seed)
+            )
+            slot.request = req
+            slot.generated = []
+
+    def _decode_step(self, params, cache, last_logits, lengths, active,
+                     token_counts, gen_counts, rngs):
+        """One lockstep decode over the whole pool (masked inactive slots)."""
+        b = self.max_batch
+        keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
+        rngs, sample_keys = keys[:, 0], keys[:, 1]
+        # per-slot sampling with a shared key batch
+        toks = jax.vmap(
+            lambda k, lg, tc, gc: sampling.sample_token(
+                k, lg[None], self.sp, tc[None], gc[None]
+            )[0]
+        )(sample_keys, last_logits, token_counts, gen_counts)
+        toks = jnp.where(active, toks, self.pad_id).astype(jnp.int32)
+        inc = active.astype(jnp.int32)
+        idx = jnp.arange(b)
+        token_counts = token_counts.at[idx, toks].add(inc)
+        gen_counts = gen_counts.at[idx, toks].add(inc)
+        logits, cache = llama.decode_step(params, self.cfg, cache, toks, lengths)
+        lengths = lengths + inc
+        return toks, logits, cache, lengths, token_counts, gen_counts, rngs
+
+    def _run_decode(self) -> None:
+        (toks, logits, self.cache, self.lengths, self.token_counts,
+         self.gen_counts, self.rngs) = self._decode(
+            self.params, self.cache, self.last_logits, self.lengths,
+            self.active, self.token_counts, self.gen_counts, self.rngs,
+        )
+        self.last_logits = logits
+        toks_np = np.asarray(toks)
+        active_np = np.asarray(self.active)
+        for i, slot in enumerate(self._slots):
+            if slot.request is None or not active_np[i]:
+                continue
+            tok = int(toks_np[i])
+            slot.generated.append(tok)
+            req = slot.request
+            if tok == req.eos_id or len(slot.generated) >= req.max_new_tokens:
+                reason = "eos" if tok == req.eos_id else "length"
+                self._finished.append(
+                    Completion(
+                        req.request_id,
+                        np.asarray(slot.generated, dtype=np.int32),
+                        reason,
+                    )
+                )
+                slot.request = None
+                slot.generated = []
+                self.active = self.active.at[i].set(False)

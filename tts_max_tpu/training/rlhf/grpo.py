@@ -1,0 +1,262 @@
+"""Native GRPO trainer — TPU-resident sampler + jitted policy update.
+
+Replaces trl.GRPOTrainer + the vLLM generation server
+(/root/reference/tts/training/rlhf/rlhf_main.py:110-164,
+run_rlhf_combine.sh:45-61): instead of HTTP round-trips to a second node,
+the SAME mesh time-multiplexes sampling (the jitted while_loop generator)
+and training (a jitted GRPO step). Weight "sync" is passing the updated
+params pytree to the sampler — a no-op device-side.
+
+Objective (GRPO, group-relative advantages, TRL num_iterations=1 semantics):
+  adv_i = (r_i - mean_group) [/ std_group if scale_rewards]
+  L = -E_tokens[ exp(logp - sg(logp)) · adv ] + β · KL_k3(policy ‖ ref)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tts_max_tpu.core.config import RLHFConfig
+from tts_max_tpu.inference.generate import make_generate_fn
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops.sampling import SamplingParams
+from tts_max_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+# --- logprobs / loss --------------------------------------------------------
+
+
+def sequence_logprobs(params, cfg: llama.LlamaConfig, tokens: jnp.ndarray):
+    """Per-token logprobs of tokens[t] given tokens[<t]: [B, L-1] (fp32)."""
+    logits = llama.forward(params, cfg, tokens)[:, :-1]
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logprobs, tokens[:, 1:, None], axis=-1)[..., 0]
+
+
+def grpo_loss(
+    params,
+    tokens: jnp.ndarray,  # [B, L] prompt+completion, right padded
+    completion_mask: jnp.ndarray,  # [B, L] True on completion tokens
+    advantages: jnp.ndarray,  # [B]
+    ref_logps: jnp.ndarray | None,  # [B, L-1] or None
+    *,
+    cfg: llama.LlamaConfig,
+    beta: float = 0.0,
+):
+    logps = sequence_logprobs(params, cfg, tokens)
+    mask = completion_mask[:, 1:].astype(jnp.float32)
+    # ratio form: value 1, gradient d(logp) — TRL num_iterations=1 semantics
+    ratio = jnp.exp(logps - jax.lax.stop_gradient(logps))
+    per_token = -ratio * advantages[:, None]
+    if beta > 0.0 and ref_logps is not None:
+        # k3 KL estimator (Schulman): exp(ref-logp) - (ref-logp) - 1
+        delta = ref_logps - logps
+        per_token = per_token + beta * (jnp.exp(delta) - delta - 1.0)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (per_token * mask).sum() / denom
+    mean_logp = (jax.lax.stop_gradient(logps) * mask).sum() / denom
+    return loss, mean_logp
+
+
+def compute_advantages(
+    rewards: np.ndarray, num_generations: int, scale_rewards: bool = True
+) -> np.ndarray:
+    """Group-relative advantages: [B] rewards with groups of G consecutive
+    completions per prompt."""
+    r = np.asarray(rewards, dtype=np.float64).reshape(-1, num_generations)
+    adv = r - r.mean(axis=1, keepdims=True)
+    if scale_rewards:
+        adv = adv / (r.std(axis=1, keepdims=True) + 1e-4)
+    return adv.reshape(-1).astype(np.float32)
+
+
+class GRPOMetrics(NamedTuple):
+    loss: jnp.ndarray
+    mean_logp: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def make_grpo_step(cfg: llama.LlamaConfig, tx, beta: float,
+                   grad_clip: float = 1.0):
+    def step(params, opt_state, tokens, completion_mask, advantages, ref_logps):
+        (loss, mean_logp), grads = jax.value_and_grad(grpo_loss, has_aux=True)(
+            params, tokens, completion_mask, advantages, ref_logps,
+            cfg=cfg, beta=beta,
+        )
+        gnorm = optax.global_norm(grads)
+        scale = jnp.where(
+            jnp.isfinite(gnorm) & (gnorm > grad_clip), grad_clip / gnorm, 1.0
+        )
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, GRPOMetrics(loss, mean_logp, gnorm)
+
+    return jax.jit(step)
+
+
+# --- trainer ----------------------------------------------------------------
+
+
+@dataclass
+class GRPOBatch:
+    tokens: np.ndarray
+    completion_mask: np.ndarray
+    rewards: np.ndarray
+    advantages: np.ndarray
+
+
+class GRPOTrainer:
+    """Rollout → reward → update loop on one mesh (no generation server)."""
+
+    def __init__(
+        self,
+        params: Any,
+        model_cfg: llama.LlamaConfig,
+        tokenizer,
+        speech_vocab,
+        reward_funcs: Sequence[Callable],
+        rlhf_cfg: RLHFConfig,
+        learning_rate: float = 1e-6,
+        reward_weights: Sequence[float] | None = None,
+        scale_rewards: bool = True,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.sv = speech_vocab
+        self.reward_funcs = list(reward_funcs)
+        self.rlhf = rlhf_cfg
+        weights = list(reward_weights or rlhf_cfg.reward_weights)
+        if len(weights) != len(self.reward_funcs):
+            weights = [1.0] * len(self.reward_funcs)
+        self.reward_weights = np.asarray(weights, dtype=np.float64)
+        self.scale_rewards = scale_rewards
+        self.tx = optax.adamw(learning_rate, b1=0.9, b2=0.95, weight_decay=0.1)
+        self.opt_state = self.tx.init(params)
+        self.beta = rlhf_cfg.kl_beta
+        self.ref_params = (
+            jax.tree_util.tree_map(jnp.copy, params) if self.beta > 0 else None
+        )
+        self._step_fn = make_grpo_step(model_cfg, self.tx, self.beta)
+        self._logps_fn = jax.jit(
+            functools.partial(sequence_logprobs, cfg=model_cfg)
+        )
+        sp = SamplingParams(
+            temperature=rlhf_cfg.temperature,
+            top_k=rlhf_cfg.top_k,
+            repetition_penalty=rlhf_cfg.repetition_penalty,
+            frequency_penalty=0.0,
+        )
+        self._gen_cache: dict[int, Callable] = {}
+        self._sp = sp
+        self._rng = jax.random.PRNGKey(seed)
+        self.step = 0
+
+    def _generate_fn(self, bucket: int):
+        if bucket not in self._gen_cache:
+            self._gen_cache[bucket] = make_generate_fn(
+                self.cfg, self._sp,
+                max_new_tokens=self.rlhf.max_completion_length,
+                eos_id=self.sv.speech_end_id,
+                cache_len=bucket + self.rlhf.max_completion_length,
+            )
+        return self._gen_cache[bucket]
+
+    def rollout(self, prompts: list[dict]) -> tuple[GRPOBatch, dict]:
+        """Generate G completions per prompt, score, build the train batch."""
+        G = self.rlhf.num_generations
+        enc = [
+            np.asarray(
+                self.tokenizer.encode(p["prompt"], add_special_tokens=True),
+                dtype=np.int32,
+            )[: self.rlhf.max_prompt_length]
+            for p in prompts
+        ]
+        max_len = max(len(e) for e in enc)
+        bucket = ((max_len + 63) // 64) * 64
+        B = len(prompts) * G
+        prompt_tokens = np.zeros((B, bucket), dtype=np.int32)
+        prompt_lengths = np.zeros((B,), dtype=np.int32)
+        for i, e in enumerate(enc):
+            for g in range(G):
+                prompt_tokens[i * G + g, : len(e)] = e
+                prompt_lengths[i * G + g] = len(e)
+
+        self._rng, k = jax.random.split(self._rng)
+        res = self._generate_fn(bucket)(
+            self.params, jnp.asarray(prompt_tokens),
+            jnp.asarray(prompt_lengths), k,
+        )
+        completions = np.asarray(res.tokens)
+        n_gen = np.asarray(res.num_generated)
+
+        # rewards (host-side)
+        kwargs = {
+            "prompt_speech_ids": [
+                prompts[i // G]["prompt_speech_ids"] for i in range(B)
+            ],
+            "completion_truth": [
+                prompts[i // G]["completion_truth"] for i in range(B)
+            ],
+            "language": [prompts[i // G].get("language", "en") for i in range(B)],
+            "prompt_wav_path": [
+                prompts[i // G].get("prompt_wav_path", "") for i in range(B)
+            ],
+        }
+        completion_list = [completions[i, : n_gen[i]] for i in range(B)]
+        total_rewards = np.zeros((B,), dtype=np.float64)
+        per_func = {}
+        for func, w in zip(self.reward_funcs, self.reward_weights):
+            r = np.asarray(func(completion_list, **kwargs), dtype=np.float64)
+            per_func[func.__name__] = float(r.mean())
+            total_rewards += w * r
+        advantages = compute_advantages(total_rewards, G, self.scale_rewards)
+
+        # train batch: prompt + completion, right padded
+        L = bucket + self.rlhf.max_completion_length
+        tokens = np.zeros((B, L), dtype=np.int32)
+        mask = np.zeros((B, L), dtype=bool)
+        for i in range(B):
+            pl = prompt_lengths[i]
+            tokens[i, :pl] = prompt_tokens[i, :pl]
+            ng = int(n_gen[i])
+            tokens[i, pl : pl + ng] = completions[i, :ng]
+            mask[i, pl : pl + ng] = True
+        batch = GRPOBatch(tokens, mask, total_rewards, advantages)
+        stats = {
+            "reward_mean": float(total_rewards.mean()),
+            "reward_std": float(total_rewards.std()),
+            "completion_len": float(n_gen.mean()),
+            **per_func,
+        }
+        return batch, stats
+
+    def train_step(self, prompts: list[dict]) -> dict:
+        batch, stats = self.rollout(prompts)
+        ref_logps = (
+            self._logps_fn(self.ref_params, tokens=jnp.asarray(batch.tokens))
+            if self.beta > 0
+            else None
+        )
+        self.params, self.opt_state, m = self._step_fn(
+            self.params, self.opt_state, jnp.asarray(batch.tokens),
+            jnp.asarray(batch.completion_mask), jnp.asarray(batch.advantages),
+            ref_logps,
+        )
+        self.step += 1
+        stats.update(
+            loss=float(m.loss), mean_logp=float(m.mean_logp),
+            grad_norm=float(m.grad_norm), step=self.step,
+        )
+        return stats

@@ -1,0 +1,143 @@
+"""GRPO RLHF entrypoint.
+
+Reference parity (/root/reference/tts/training/rlhf/rlhf_main.py): builds the
+RLHF dataset (audio prompt + next-sample transcript), reward functions, and
+runs GRPO — but on ONE mesh with the native sampler instead of a two-node
+accelerate + vLLM-server topology (run_rlhf_combine.sh:45-61).
+
+Run: python -m tts_max_tpu.training.rlhf.main --config_path rlhf.json \
+        --dataset_dir DS [--model_dir HF_DIR | --architecture llama-tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.core.config import ExperimentConfig
+from tts_max_tpu.core.tokenization import (
+    build_byte_tokenizer,
+    build_tokenizer,
+    speech_vocab,
+)
+from tts_max_tpu.data import codes_io
+from tts_max_tpu.data.normalization import create as create_normalizer
+from tts_max_tpu.models import hf_import, llama
+from tts_max_tpu.models.codec import api, vocos
+from tts_max_tpu.parallel import mesh as pmesh
+from tts_max_tpu.training.checkpointing import CheckpointManager, save_config
+from tts_max_tpu.training.rlhf.dataset import TtsRLHFDataset
+from tts_max_tpu.training.rlhf.grpo import GRPOTrainer
+from tts_max_tpu.training.rlhf.rewards import create_reward_funcs
+from tts_max_tpu.utils.logging import get_logger, setup_logging
+
+log = get_logger(__name__)
+
+
+def run_training(config: ExperimentConfig, args) -> None:
+    env = pmesh.initialize_distributed()
+    setup_logging(env.global_rank)
+
+    # policy model
+    if args.model_dir and os.path.isdir(args.model_dir):
+        tokenizer = build_tokenizer(args.model_dir, expected_vocab_size=None)
+        params, model_cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+    else:
+        tokenizer = build_byte_tokenizer()
+        model_cfg = llama.config_for_architecture(
+            args.architecture, vocab_size=len(tokenizer)
+        )
+        params = llama.init_params(
+            jax.random.PRNGKey(config.training.seed), model_cfg
+        )
+    sv = speech_vocab(tokenizer)
+
+    # codec decoder for rewards
+    if args.codec_decoder:
+        decoder = api.create_decoder(args.codec_decoder)
+    else:
+        vcfg = vocos.tiny_vocos_config()
+        decoder = api.AudioDecoder(
+            vocos.init_decoder(jax.random.PRNGKey(1), vcfg), vcfg,
+            api.DecoderConfig(),
+        )
+        log.warning("No codec decoder checkpoint: random decoder (smoke mode).")
+
+    # dataset (audio prompt + next transcript)
+    codes, samples, spans, _ = codes_io.load_and_filter_audio_codes_and_samples(
+        args.dataset_dir, "train", config.dataset
+    )
+    normalizer = create_normalizer(
+        config.modeling.parameters.enable_text_normalization
+    )
+    dataset = TtsRLHFDataset(
+        os.path.basename(args.dataset_dir), samples, codes, spans, tokenizer,
+        normalizer,
+    )
+    log.info("RLHF dataset: %d prompts", len(dataset))
+
+    reward_funcs = create_reward_funcs(
+        config.rlhf.reward_funcs,
+        decoder,
+        speech_vocab=sv,
+        save_completions_steps=config.rlhf.save_completions_every_n_steps,
+        save_dir=os.path.join(config.output_dir, "completion_samples"),
+        logging_steps=config.training.logging_steps,
+    )
+
+    trainer = GRPOTrainer(
+        params, model_cfg, tokenizer, sv, reward_funcs, config.rlhf,
+        learning_rate=config.training.learning_rate,
+        seed=config.training.seed,
+    )
+    os.makedirs(config.output_dir, exist_ok=True)
+    save_config(config.output_dir, config)
+    mgr = CheckpointManager(
+        os.path.join(config.output_dir, "checkpoints"),
+        keep_last_n=config.checkpointing.keep_only_last_n_checkpoints,
+    )
+
+    prompts_per_step = max(1, config.training.batch_size)
+    rng = np.random.default_rng(config.training.seed)
+    from tts_max_tpu.utils.statistics import Statistics
+
+    stats_acc = Statistics()
+    for step in range(args.total_steps):
+        idxs = rng.integers(0, len(dataset), prompts_per_step)
+        prompts = [dataset[int(i)] for i in idxs]
+        stats = trainer.train_step(prompts)
+        stats_acc.step = trainer.step
+        stats_acc.record_loss("grpo", stats["loss"])
+        stats_acc.record_counter("reward_mean", stats["reward_mean"])
+        if trainer.step % config.training.logging_steps == 0:
+            log.info("GRPO step %d: %s", trainer.step, stats)
+        if (
+            config.checkpointing.save_steps > 0
+            and trainer.step % config.checkpointing.save_steps == 0
+        ):
+            mgr.save(trainer.step, trainer.params, trainer.opt_state, stats_acc,
+                     config)
+    mgr.wait()
+    mgr.close()
+    log.info("RLHF done at step %d", trainer.step)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GRPO RLHF alignment")
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--dataset_dir", required=True)
+    parser.add_argument("--model_dir", default="")
+    parser.add_argument("--architecture", default="llama-tiny")
+    parser.add_argument("--codec_decoder", default="")
+    parser.add_argument("--total_steps", type=int, default=100)
+    args = parser.parse_args(argv)
+    config = ExperimentConfig.from_json(args.config_path, required=False)
+    run_training(config, args)
+
+
+if __name__ == "__main__":
+    main()
