@@ -75,6 +75,8 @@ class ByteTokenizer:
         self.pad_token_id = 0
         self.bos_token_id = 1
         self.eos_token_id = 2
+        self._native = None
+        self._native_dirty = False
 
     def __len__(self) -> int:
         return self._base + len(self._added)
@@ -87,7 +89,32 @@ class ByteTokenizer:
                 self._added[t] = tid
                 self._added_rev[tid] = t
                 n += 1
+        if n:
+            self._native_dirty = True
         return n
+
+    def _get_native(self):
+        """C++ fast path (tts_max_tpu.native); rebuilt when vocab changes."""
+        if self._native is None or self._native_dirty:
+            try:
+                from tts_max_tpu import native as native_mod
+                from tts_max_tpu.core.constants import SPEECH_TOKEN_TEMPLATE
+
+                speech_table = []
+                i = 0
+                while SPEECH_TOKEN_TEMPLATE.format(i) in self._added:
+                    speech_table.append(
+                        self._added[SPEECH_TOKEN_TEMPLATE.format(i)]
+                    )
+                    i += 1
+                nt = native_mod.NativeTokenizer(
+                    self._added, speech_table if speech_table else None
+                )
+                self._native = nt if nt.encode("probe") is not None else False
+            except Exception:
+                self._native = False
+            self._native_dirty = False
+        return self._native or None
 
     def convert_tokens_to_ids(self, token: str | list[str]):
         if isinstance(token, list):
@@ -96,6 +123,11 @@ class ByteTokenizer:
 
     def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
         ids: list[int] = [self.bos_token_id] if add_special_tokens else []
+        native = self._get_native()
+        if native is not None:
+            out = native.encode(text)
+            if out is not None:
+                return ids + out.tolist()
         pos = 0
         # match longest known added tokens first via the <|...|> pattern and
         # the raw added-token table (for nonverbals like "<laugh>")

@@ -40,7 +40,16 @@ def normalize_transcript(transcript: str, language: str) -> str:
 
 
 def edit_distance(ref: list, hyp: list) -> int:
-    """Levenshtein distance over token sequences."""
+    """Levenshtein distance over token sequences (C++ fast path when the
+    native library is available; reward scoring calls this per completion)."""
+    try:
+        from tts_max_tpu import native as native_mod
+
+        d = native_mod.levenshtein(ref, hyp)
+        if d is not None:
+            return d
+    except Exception:
+        pass
     if not ref:
         return len(hyp)
     prev = list(range(len(hyp) + 1))
