@@ -38,8 +38,19 @@ def causal_attention(
 
     q: [B, S, Hq, D]; k, v: [B, S, Hkv, D] (GQA broadcast handled internally).
     Returns [B, S, Hq, D]. Softmax in fp32.
+
+    On TPU with long sequences the Pallas flash kernel is used (O(S) memory,
+    MXU-tiled); otherwise XLA's fused attention.
     """
     n_rep = q.shape[2] // k.shape[2]
+    if implementation == "pallas" or (
+        implementation is None
+        and q.shape[1] >= 1024
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from tts_max_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=True)
     try:
         return jax.nn.dot_product_attention(
             q, k, v, is_causal=True, implementation=implementation
