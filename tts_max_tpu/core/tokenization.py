@@ -217,8 +217,11 @@ def build_byte_tokenizer(
     codebook_size: int = constants.CODEBOOK_SIZE,
     expected_vocab_size: int | None = None,
 ) -> ByteTokenizer:
-    """Air-gapped tokenizer for tests / from-scratch runs."""
-    return extend_tokenizer(ByteTokenizer(), codebook_size, expected_vocab_size)
+    """Air-gapped tokenizer for tests / from-scratch runs. Includes the
+    llama-style chat-header tokens used by text SFT."""
+    tok = ByteTokenizer()
+    tok.add_tokens(["<|start_header_id|>", constants.END_HEADER_ID, "<|eot_id|>"])
+    return extend_tokenizer(tok, codebook_size, expected_vocab_size)
 
 
 def speech_vocab(tokenizer, codebook_size: int = constants.CODEBOOK_SIZE) -> SpeechVocab:

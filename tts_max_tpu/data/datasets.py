@@ -140,6 +140,87 @@ class TextPretrainingDataset:
         }
 
 
+def parse_oig_sample(raw_text: str) -> list[dict[str, str]]:
+    """OIG "<human>: ... <bot>: ..." text -> chat messages
+    (reference finetuning.py:126-149)."""
+    messages = []
+    raw_text = raw_text.strip()
+    if not raw_text.startswith("<human>:"):
+        raise ValueError("Sample does not start with <human>:")
+    parts = raw_text.split("<human>:")[1:]
+    for part in parts:
+        if "<bot>:" in part:
+            human_text, bot_part = part.split("<bot>:", 1)
+            messages.append({"role": "user", "content": human_text.strip()})
+            bot_text = bot_part.split("<human>:", 1)[0].strip()
+            messages.append({"role": "assistant", "content": bot_text})
+        else:
+            messages.append({"role": "user", "content": part.strip()})
+            break
+    return messages
+
+
+class TextFineTuningDataset:
+    """Chat-template text SFT with loss on the final assistant response only
+    (reference finetuning.py:109-184). Works with an HF tokenizer
+    (apply_chat_template) or any tokenizer via a llama-style template."""
+
+    def __init__(self, records: list, tokenizer, max_seq_len: int):
+        self._records = records
+        self._tokenizer = tokenizer
+        self._max_seq_len = max_seq_len
+        self._end_header_id = tokenizer.convert_tokens_to_ids(
+            constants.END_HEADER_ID
+        )
+
+    def __len__(self) -> int:
+        return len(self._records)
+
+    def _messages(self, record) -> list[dict]:
+        if isinstance(record, dict) and "messages" in record:
+            return record["messages"]
+        text = record["text"] if isinstance(record, dict) else record
+        return parse_oig_sample(text)
+
+    def _tokenize(self, messages) -> np.ndarray:
+        if hasattr(self._tokenizer, "apply_chat_template"):
+            try:
+                ids = self._tokenizer.apply_chat_template(messages, tokenize=True)
+                return np.asarray(ids, dtype=np.int32)
+            except Exception:
+                pass
+        parts = []
+        for m in messages:
+            parts.append(
+                f"<|start_header_id|>{m['role']}{constants.END_HEADER_ID}\n\n"
+                f"{m['content']}<|eot_id|>"
+            )
+        return np.asarray(
+            self._tokenizer.encode("".join(parts), add_special_tokens=True),
+            dtype=np.int32,
+        )
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        input_ids = self._tokenize(self._messages(self._records[idx]))
+        # mask everything before the last <|end_header_id|> (the final
+        # assistant response is the training signal, reference :162-173)
+        hits = np.nonzero(input_ids == self._end_header_id)[0]
+        response_start = (
+            int(hits[-1]) + 1 if len(hits) else len(input_ids) - 1
+        )
+        response_start = min(response_start, self._max_seq_len - 1)
+        input_ids = input_ids[: self._max_seq_len]
+        labels = input_ids.copy()
+        labels[:response_start] = constants.LOSS_IGNORE_TOKEN_ID
+        return {
+            "input_ids": input_ids,
+            "labels": labels,
+            "tokens_processed": len(input_ids),
+            "generated_audio_duration_sec": 0.0,
+            "audio_processed_sec": 0.0,
+        }
+
+
 class WeightedDataset:
     def __init__(self, name: str, dataset, epochs: float):
         self.name = name

@@ -179,6 +179,14 @@ def run_training(config: ExperimentConfig, args) -> None:
         except FileNotFoundError:
             pass
 
+    from tts_max_tpu.utils.metrics_logging import MetricsLogger
+
+    metrics_logger = MetricsLogger(
+        config.output_dir,
+        experiment_name=config.experiment_name,
+        use_wandb=args.use_wandb,
+        is_main=env.is_main,
+    )
     with mesh:
         params, opt_state, stats = run_loop(
             train_step=wrapped_step,
@@ -193,7 +201,9 @@ def run_training(config: ExperimentConfig, args) -> None:
             checkpoint_manager=mgr,
             lr_schedule=schedule,
             statistics=statistics,
+            metrics_logger=metrics_logger,
         )
+    metrics_logger.close()
     mgr.wait()
     if env.is_main:
         path = save_final_model(config.output_dir, params)
@@ -207,6 +217,7 @@ def main(argv=None):
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--pretraining_mode", action="store_true")
     parser.add_argument("--total_steps", type=int, default=0)
+    parser.add_argument("--use_wandb", action="store_true")
     args = parser.parse_args(argv)
     config = ExperimentConfig.from_json(args.config_path)
     run_training(config, args)
