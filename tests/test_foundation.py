@@ -107,3 +107,15 @@ def test_timer():
     with Timer("x") as t:
         sum(range(1000))
     assert t.elapsed >= 0
+
+
+def test_make_global_batch_single_process(mesh8):
+    from tts_max_tpu.parallel.multihost import barrier, make_global_batch
+    from tts_max_tpu.training.train_step import data_sh_axis1
+
+    sh = data_sh_axis1(mesh8)
+    batch = {"input_ids": np.zeros((2, 8, 16), np.int32)}
+    out = make_global_batch(batch, {"input_ids": sh})
+    assert out["input_ids"].shape == (2, 8, 16)
+    assert out["input_ids"].sharding.spec == P(None, ("data", "fsdp"))
+    barrier()  # no-op single process

@@ -139,9 +139,11 @@ def run_training(config: ExperimentConfig, args) -> None:
         opt_state, ts._opt_state_shardings(tx, params, p_sh, mesh)
     )
 
+    from tts_max_tpu.parallel.multihost import make_global_batch
+
     def shard_batch(b):
         sh = ts.data_sh_axis1(mesh)
-        return {k: jax.device_put(v, sh) for k, v in b.items()}
+        return make_global_batch(b, {k: sh for k in b})
 
     def wrapped_step(p, o, macro):
         return step_fn(p, o, shard_batch(macro))
