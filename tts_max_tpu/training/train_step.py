@@ -33,6 +33,8 @@ class StepMetrics(NamedTuple):
     grad_norm: jnp.ndarray
     nonfinite: jnp.ndarray  # 1.0 if the update was skipped
     tokens: jnp.ndarray  # number of loss tokens
+    grad_abs_max: jnp.ndarray  # health stats (reference evaluation.py:11-73)
+    param_abs_max: jnp.ndarray
 
 
 def causal_lm_loss(
@@ -71,44 +73,63 @@ def train_step(
     accumulation micro-steps (A=1 for no accumulation).
     """
 
-    def micro(carry, mb):
-        grad_sum, loss_sum, tok_sum = carry
-        (loss, toks), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cfg, mb
-        )
-        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
-        return (grad_sum, loss_sum + loss, tok_sum + toks), None
-
     accum = batch["input_ids"].shape[0]
-    zero_grads = jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, jnp.float32), params
-    )
-    (grads, loss_sum, tok_sum), _ = jax.lax.scan(
-        micro, (zero_grads, jnp.zeros(()), jnp.zeros((), jnp.int32)), batch
-    )
-    grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-    loss = loss_sum / accum
+    if accum == 1:
+        # no accumulation: skip the scan and its zero-initialized grad carry
+        (loss, tok_sum), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, jax.tree_util.tree_map(lambda x: x[0], batch)
+        )
+    else:
+
+        def micro(carry, mb):
+            grad_sum, loss_sum, tok_sum = carry
+            (loss, toks), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, cfg, mb
+            )
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+            return (grad_sum, loss_sum + loss, tok_sum + toks), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (grads, loss_sum, tok_sum), _ = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros(()), jnp.zeros((), jnp.int32)), batch
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
 
     gnorm = optax.global_norm(grads)
     finite = jnp.isfinite(gnorm)
-    scale = jnp.where(
+    clip_scale = jnp.where(
         finite & (gnorm > gradient_clip_value), gradient_clip_value / gnorm, 1.0
     )
-    grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    # Non-finite step: sanitize grads to zero and zero the final updates so
+    # params stay EXACTLY unchanged (the host loop then checkpoints and
+    # stops, reference contract training_loop.py:268-271). Masking the
+    # grad/update trees instead of cloning params+opt_state halves peak
+    # memory — the moments decay one step, which is irrelevant post-stop.
+    grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g * clip_scale, jnp.zeros_like(g)), grads
+    )
 
     updates, new_opt_state = tx.update(grads, opt_state, params)
-    new_params = optax.apply_updates(params, updates)
-    # skip the whole update if the grad norm went non-finite
-    new_params, new_opt_state = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(finite, new, old),
-        (new_params, new_opt_state),
-        (params, opt_state),
+    updates = jax.tree_util.tree_map(
+        lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
     )
+    new_params = optax.apply_updates(params, updates)
     metrics = StepMetrics(
         loss=loss,
         grad_norm=gnorm,
         nonfinite=(~finite).astype(jnp.float32),
         tokens=tok_sum,
+        grad_abs_max=jnp.max(
+            jnp.stack([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grads)])
+        ),
+        param_abs_max=jnp.max(
+            jnp.stack(
+                [jnp.max(jnp.abs(p)) for p in jax.tree_util.tree_leaves(new_params)]
+            )
+        ),
     )
     return new_params, new_opt_state, metrics
 
