@@ -55,8 +55,12 @@ def main():
         file=sys.stderr,
     )
     # jit the init: one XLA program, no op-by-op relay round-trips
+    from tts_max_tpu.models import quantization
+
     params = jax.jit(
-        lambda k: llama.init_params(k, cfg, dtype=jnp.bfloat16)
+        lambda k: quantization.quantize_llama_params(
+            llama.init_params(k, cfg, dtype=jnp.bfloat16)
+        )
     )(jax.random.PRNGKey(0))
     tokens = jax.random.randint(
         jax.random.PRNGKey(2), (batch, prompt_len), 0, cfg.vocab_size
@@ -94,7 +98,7 @@ def main():
             {
                 "metric": "speechlm_decode_tokens_per_s_per_chip",
                 "value": round(best, 2),
-                "unit": "tokens/s/chip (llama-1b bf16, batch 8, jitted KV decode)",
+                "unit": "tokens/s/chip (llama-1b int8 weights, batch 8, jitted KV decode)",
                 "vs_baseline": round(best / CODEC_TOKEN_RATE, 2),
             }
         )

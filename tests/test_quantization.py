@@ -1,0 +1,60 @@
+"""int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.models import llama, quantization as q
+
+
+def test_quantize_tensor_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    qt = q.quantize_tensor(w, axis=0)  # reduce the contraction dim
+    assert qt["q"].dtype == jnp.int8
+    assert qt["scale"].shape == (32,)
+    deq = q.dequantize(qt, jnp.float32)
+    # per-channel int8: relative error bounded by ~1/127
+    err = np.abs(np.asarray(deq) - np.asarray(w)).max(axis=0)
+    amax = np.abs(np.asarray(w)).max(axis=0)
+    assert (err <= amax / 127.0 + 1e-6).all()
+
+
+def test_matmul_quantized_close():
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64), dtype=jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 32))
+    qt = q.quantize_tensor(w, axis=0)
+    ref = np.asarray(x @ w)
+    ours = np.asarray(q.matmul(x, qt))
+    rel = np.abs(ours - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.01
+
+
+def test_quantized_model_logits_close():
+    cfg = llama.tiny_config(vocab_size=256, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = q.quantize_llama_params(params)
+    # embedding per-row, kernels per-out-channel, norms untouched
+    assert qparams["embed"]["embedding"]["q"].dtype == jnp.int8
+    assert qparams["embed"]["embedding"]["scale"].shape == (256,)
+    assert qparams["layers"]["attn"]["wq"]["kernel"]["q"].dtype == jnp.int8
+    assert qparams["norm"]["scale"].dtype == params["norm"]["scale"].dtype
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 256)
+    ref = np.asarray(llama.forward(params, cfg, tokens))
+    ours = np.asarray(llama.forward(qparams, cfg, tokens))
+    # top-1 agreement is what matters for greedy decode
+    agree = (ref.argmax(-1) == ours.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_quantized_decode_runs():
+    cfg = llama.tiny_config(vocab_size=128, max_seq_len=64)
+    params = q.quantize_llama_params(llama.init_params(jax.random.PRNGKey(0), cfg))
+    cache = llama.init_kv_cache(cfg, 2, 32)
+    toks = jnp.zeros((2, 8), jnp.int32)
+    lens = jnp.full((2,), 8, jnp.int32)
+    logits, cache = llama.prefill(params, cfg, toks, lens, cache)
+    logits2, cache = llama.decode_step(params, cfg, cache,
+                                       jnp.zeros((2,), jnp.int32), lens)
+    assert np.isfinite(np.asarray(logits2)).all()

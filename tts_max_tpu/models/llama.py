@@ -26,6 +26,7 @@ import numpy as np
 from tts_max_tpu.core.constants import FIXED_VOCAB_SIZE
 from tts_max_tpu.ops.attention import causal_attention, decode_attention
 from tts_max_tpu.ops.norms import rms_norm
+from tts_max_tpu.models.quantization import embed_lookup, matmul, tied_logits
 from tts_max_tpu.ops.rope import apply_rope, rope_table
 
 Params = Any  # nested dict pytree
@@ -179,27 +180,27 @@ def param_count(params: Params) -> int:
 def _attn_block(h, lp, cos, sin, cfg: LlamaConfig):
     b, s, _ = h.shape
     x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
-    q = (x @ lp["attn"]["wq"]["kernel"].astype(x.dtype)).reshape(
+    q = (matmul(x, lp["attn"]["wq"]["kernel"])).reshape(
         b, s, cfg.n_heads, cfg.head_dim
     )
-    k = (x @ lp["attn"]["wk"]["kernel"].astype(x.dtype)).reshape(
+    k = (matmul(x, lp["attn"]["wk"]["kernel"])).reshape(
         b, s, cfg.n_kv_heads, cfg.head_dim
     )
-    v = (x @ lp["attn"]["wv"]["kernel"].astype(x.dtype)).reshape(
+    v = (matmul(x, lp["attn"]["wv"]["kernel"])).reshape(
         b, s, cfg.n_kv_heads, cfg.head_dim
     )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = causal_attention(q, k, v)
-    o = o.reshape(b, s, cfg.q_dim) @ lp["attn"]["wo"]["kernel"].astype(x.dtype)
+    o = matmul(o.reshape(b, s, cfg.q_dim), lp["attn"]["wo"]["kernel"])
     return h + o, k, v
 
 
 def _mlp_block(h, lp, cfg: LlamaConfig):
     x = rms_norm(h, lp["mlp_norm"]["scale"], cfg.norm_eps)
-    gate = x @ lp["mlp"]["w_gate"]["kernel"].astype(x.dtype)
-    up = x @ lp["mlp"]["w_up"]["kernel"].astype(x.dtype)
-    return h + (jax.nn.silu(gate) * up) @ lp["mlp"]["w_down"]["kernel"].astype(x.dtype)
+    gate = matmul(x, lp["mlp"]["w_gate"]["kernel"])
+    up = matmul(x, lp["mlp"]["w_up"]["kernel"])
+    return h + matmul(jax.nn.silu(gate) * up, lp["mlp"]["w_down"]["kernel"])
 
 
 def _decoder_layer(h, lp, cos, sin, cfg: LlamaConfig):
@@ -210,10 +211,8 @@ def _decoder_layer(h, lp, cos, sin, cfg: LlamaConfig):
 def _logits(h, params, cfg: LlamaConfig):
     h = rms_norm(h, params["norm"]["scale"], cfg.norm_eps)
     if cfg.tie_embeddings:
-        w = params["embed"]["embedding"].astype(h.dtype).T
-    else:
-        w = params["lm_head"]["kernel"].astype(h.dtype)
-    return (h @ w).astype(jnp.float32)
+        return tied_logits(h, params["embed"]["embedding"])
+    return matmul(h, params["lm_head"]["kernel"]).astype(jnp.float32)
 
 
 def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -221,7 +220,7 @@ def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarra
     cos, sin = rope_table(
         cfg.head_dim, tokens.shape[1], cfg.rope_theta, cfg.use_llama3_rope_scaling
     )
-    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)
+    h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)
 
     def layer_fn(carry, lp):
         return _decoder_layer(carry, lp, cos, sin, cfg), None
@@ -259,7 +258,7 @@ def prefill(
     cos, sin = rope_table(
         cfg.head_dim, s, cfg.rope_theta, cfg.use_llama3_rope_scaling
     )
-    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)
+    h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)
 
     def layer_fn(carry, lp):
         h, = carry
@@ -301,7 +300,7 @@ def decode_step(
     cos, sin = rope_table(
         cfg.head_dim, cache["k"].shape[2], cfg.rope_theta, cfg.use_llama3_rope_scaling
     )
-    h = params["embed"]["embedding"][tokens].astype(cfg.dtype)  # [B, D]
+    h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)  # [B, D]
     pos_cos = jnp.take(cos, lengths, axis=0)[:, None, :]  # [B, 1, hd/2]
     pos_sin = jnp.take(sin, lengths, axis=0)[:, None, :]
     batch_idx = jnp.arange(b)
@@ -319,20 +318,20 @@ def decode_step(
         h, = carry
         lp, k_cache, v_cache = scanned
         x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
-        q = (x @ lp["attn"]["wq"]["kernel"].astype(x.dtype)).reshape(
+        q = (matmul(x, lp["attn"]["wq"]["kernel"])).reshape(
             b, cfg.n_heads, cfg.head_dim
         )
-        k = (x @ lp["attn"]["wk"]["kernel"].astype(x.dtype)).reshape(
+        k = (matmul(x, lp["attn"]["wk"]["kernel"])).reshape(
             b, cfg.n_kv_heads, cfg.head_dim
         )
-        v = (x @ lp["attn"]["wv"]["kernel"].astype(x.dtype)).reshape(
+        v = (matmul(x, lp["attn"]["wv"]["kernel"])).reshape(
             b, cfg.n_kv_heads, cfg.head_dim
         )
         q, k = rope1(q), rope1(k)
         k_cache = k_cache.at[batch_idx, lengths].set(k.astype(k_cache.dtype))
         v_cache = v_cache.at[batch_idx, lengths].set(v.astype(v_cache.dtype))
         o = decode_attention(q, k_cache, v_cache, lengths + 1).astype(h.dtype)
-        h = h + o.reshape(b, cfg.q_dim) @ lp["attn"]["wo"]["kernel"].astype(x.dtype)
+        h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
         return (h,), (k_cache, v_cache)
 

@@ -1,0 +1,96 @@
+"""Weight-only int8 quantization for serving.
+
+Decode on TPU is HBM-bandwidth-bound (BENCHMARKS.md): every step reads all
+2.5 GB of bf16 weights. Per-output-channel symmetric int8 storage halves
+that; weights dequantize on the fly in VMEM (XLA fuses the cast into the
+matmul), activations stay bf16. This replaces the precision knob the
+reference delegates to vLLM.
+
+A quantized kernel is ``{"q": int8 [..., in, out], "scale": f32 [..., out]}``;
+a quantized embedding is ``{"q": int8 [V, D], "scale": f32 [V]}`` (per-row),
+whose row scales double as the output-channel scales of the tied LM head.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_tensor(w: jnp.ndarray, axis: int) -> dict[str, jnp.ndarray]:
+    """Symmetric int8, reducing ONLY over ``axis`` (the contraction dim).
+
+    Leading batch dims (e.g. the stacked-layer L of [L, in, out] kernels)
+    keep their own scales so lax.scan can slice layer by layer.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return {"q": q, "scale": jnp.squeeze(scale, axis=axis).astype(jnp.float32)}
+
+
+def is_quantized(p) -> bool:
+    return isinstance(p, dict) and set(p) >= {"q", "scale"}
+
+
+def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    scale = p["scale"]
+    # broadcast scale over the channel (last for kernels, first for embeddings)
+    if p["q"].shape[-1] == scale.shape[-1]:
+        return (p["q"].astype(jnp.float32) * scale).astype(dtype)
+    return (p["q"].astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def quantize_llama_params(params: Any) -> Any:
+    """Quantize every matmul kernel (per-out-channel) and the embedding
+    (per-row). Norm scales/biases stay fp."""
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if k == "kernel" and hasattr(v, "ndim") and v.ndim >= 2:
+                    out[k] = quantize_tensor(v, axis=v.ndim - 2)  # contraction dim
+                elif k == "embedding":
+                    out[k] = quantize_tensor(v, axis=1)  # per-row
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
+        if isinstance(tree, list):
+            return [walk(v, path) for v in tree]
+        return tree
+
+    return walk(params)
+
+
+# --- compute helpers used by the model code ---------------------------------
+
+
+def matmul(x: jnp.ndarray, p, dtype=None) -> jnp.ndarray:
+    """x @ kernel supporting plain arrays and quantized kernels."""
+    dtype = dtype or x.dtype
+    if is_quantized(p):
+        w = p["q"].astype(dtype)
+        y = x @ w
+        return y * p["scale"].astype(dtype)
+    return x @ p.astype(dtype)
+
+
+def embed_lookup(emb, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if is_quantized(emb):
+        rows = emb["q"][tokens].astype(dtype)
+        return rows * emb["scale"][tokens][..., None].astype(dtype)
+    return emb[tokens].astype(dtype)
+
+
+def tied_logits(h: jnp.ndarray, emb) -> jnp.ndarray:
+    """h @ embedding.T for plain or quantized embeddings (row scales become
+    output-channel scales)."""
+    if is_quantized(emb):
+        logits = h @ emb["q"].astype(h.dtype).T
+        return (logits * emb["scale"].astype(h.dtype)).astype(jnp.float32)
+    return (h @ emb.astype(h.dtype).T).astype(jnp.float32)

@@ -181,6 +181,33 @@ def run_training(config: ExperimentConfig, args) -> None:
         except FileNotFoundError:
             pass
 
+    # quality validator (reference main.py quality_validation wiring):
+    # requires codec checkpoints; defaults to NoOp
+    quality_validator = None
+    vtype = config.checkpointing.validation_type
+    if vtype and vtype != "none" and args.codec_decoder_checkpoint:
+        from tts_max_tpu.core.tokenization import speech_vocab
+        from tts_max_tpu.inference import quality
+        from tts_max_tpu.inference.synthesize import LocalTtsModel
+        from tts_max_tpu.models.codec import api
+
+        decoder = api.create_decoder(args.codec_decoder_checkpoint)
+        encoder = api.CachingAudioEncoder(
+            api.create_encoder(args.codec_encoder_checkpoint)
+        )
+        tts_model = LocalTtsModel(
+            params, model_cfg, tokenizer, speech_vocab(tokenizer), encoder,
+            decoder,
+        )
+        prompt_wavs = dict(
+            p.split(":", 1) for p in args.validation_prompt_wavs
+        )
+        quality_validator = quality.create(
+            vtype, tts_model, config.output_dir, env.global_rank,
+            env.world_size, prompt_wavs=prompt_wavs,
+            prompt_wav_paths=list(prompt_wavs),
+        )
+
     from tts_max_tpu.utils.metrics_logging import MetricsLogger
 
     metrics_logger = MetricsLogger(
@@ -201,6 +228,7 @@ def run_training(config: ExperimentConfig, args) -> None:
             total_training_steps=total_steps,
             steps_per_epoch=steps_per_epoch,
             checkpoint_manager=mgr,
+            quality_validator=quality_validator,
             lr_schedule=schedule,
             statistics=statistics,
             metrics_logger=metrics_logger,
@@ -220,6 +248,12 @@ def main(argv=None):
     parser.add_argument("--pretraining_mode", action="store_true")
     parser.add_argument("--total_steps", type=int, default=0)
     parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--codec_encoder_checkpoint", default="",
+                        help="xcodec2 .pt for quality validation")
+    parser.add_argument("--codec_decoder_checkpoint", default="")
+    parser.add_argument("--validation_prompt_wavs", nargs="*", default=[],
+                        help="wav_path:transcript pairs for random-phrases "
+                        "validation")
     args = parser.parse_args(argv)
     config = ExperimentConfig.from_json(args.config_path)
     run_training(config, args)
