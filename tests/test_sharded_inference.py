@@ -1,0 +1,58 @@
+"""Tensor-parallel serving: generation with params sharded over the mesh
+(the reference's vLLM --tensor_parallel_size equivalent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tts_max_tpu.core.config import MeshConfig
+from tts_max_tpu.inference.generate import make_generate_fn
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops.sampling import SamplingParams
+from tts_max_tpu.parallel.mesh import build_mesh
+from tts_max_tpu.parallel.sharding import params_shardings
+
+
+def test_tp_sharded_generate_matches_replicated():
+    """Greedy generation with TP-sharded weights must produce the same
+    tokens as the replicated run."""
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
+    cfg = llama.tiny_config(vocab_size=512, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    gen = make_generate_fn(cfg, sp, max_new_tokens=8, eos_id=-1, cache_len=64)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 3, 512)
+    lens = jnp.full((2,), 16, jnp.int32)
+
+    ref = gen(params, toks, lens, jax.random.PRNGKey(2))
+
+    sharded = jax.device_put(params, params_shardings(params, mesh))
+    # verify something actually sharded over tensor
+    specs = {
+        str(p): s.sharding.spec
+        for p, s in jax.tree_util.tree_leaves_with_path(sharded)
+    }
+    assert any("tensor" in str(s) for s in specs.values())
+    with mesh:
+        out = gen(sharded, toks, lens, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
+def test_fsdp_sharded_forward_matches():
+    mesh = build_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    cfg = llama.tiny_config(vocab_size=256, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 256)
+    ref = llama.forward(params, cfg, toks)
+    sharded = jax.device_put(params, params_shardings(params, mesh))
+    with mesh:
+        out = jax.jit(lambda p, t: llama.forward(p, cfg, t))(sharded, toks)
+    # bf16 compute + sharded reduction order: compare within bf16 noise and
+    # require exact top-1 agreement
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+    np.testing.assert_array_equal(
+        np.asarray(out).argmax(-1), np.asarray(ref).argmax(-1)
+    )
