@@ -44,7 +44,7 @@ def main():
     from tts_max_tpu.models import llama
     from tts_max_tpu.ops import sampling
 
-    batch = 8
+    batch = 64
     prompt_len = 64
     decode_steps = 128
 
@@ -98,7 +98,7 @@ def main():
             {
                 "metric": "speechlm_decode_tokens_per_s_per_chip",
                 "value": round(best, 2),
-                "unit": "tokens/s/chip (llama-1b int8 weights, batch 8, jitted KV decode)",
+                "unit": f"tokens/s/chip (llama-1b int8 weights, batch {batch}, jitted KV decode)",
                 "vs_baseline": round(best / CODEC_TOKEN_RATE, 2),
             }
         )
