@@ -103,3 +103,25 @@ def test_gan_step_trains(tiny_gan):
         gt, dp, go, do, m = step(gt, dp, go, do, batch)
     assert float(m.disc_loss) < d0
     assert np.isfinite(float(m.mel_loss))
+
+
+def test_gan_step_sharded_matches(tiny_gan, mesh_dp):
+    """Data-parallel GAN step on the 8-device mesh matches single-device."""
+    vocos_cfg, mpd_cfg, msd_cfg, gen_params, disc_params = tiny_gan
+    cfg = CodecTrainingConfig(code_window_size=8)
+    gen_trainable, gen_frozen = gan.split_generator_params(gen_params)
+    gen_tx, disc_tx = gan.create_gan_optimizers(cfg)
+    gen_opt = gen_tx.init(gen_trainable)
+    disc_opt = disc_tx.init(disc_params)
+    batch = {
+        "audio_codes": jax.random.randint(jax.random.PRNGKey(9), (8, 8), 0, 65536),
+        "wav": 0.1 * jax.random.normal(jax.random.PRNGKey(10), (8, 8 * 320)),
+    }
+    plain = gan.make_gan_step(vocos_cfg, mpd_cfg, msd_cfg, cfg, gen_frozen,
+                              gen_tx, disc_tx)
+    sharded = gan.make_gan_step(vocos_cfg, mpd_cfg, msd_cfg, cfg, gen_frozen,
+                                gen_tx, disc_tx, mesh=mesh_dp)
+    _, _, _, _, m_ref = plain(gen_trainable, disc_params, gen_opt, disc_opt, batch)
+    gt, dp, _, _, m = sharded(gen_trainable, disc_params, gen_opt, disc_opt, batch)
+    np.testing.assert_allclose(float(m.gen_loss), float(m_ref.gen_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(m.disc_loss), float(m_ref.disc_loss), rtol=1e-4)

@@ -168,16 +168,34 @@ def create_gan_optimizers(cfg: CodecTrainingConfig,
     return gen_tx, disc_tx
 
 
-def make_gan_step(vocos_cfg, mpd_cfg, msd_cfg, cfg, gen_frozen, gen_tx, disc_tx):
-    return jax.jit(
-        functools.partial(
-            gan_train_step,
-            gen_frozen=gen_frozen,
-            vocos_cfg=vocos_cfg,
-            mpd_cfg=mpd_cfg,
-            msd_cfg=msd_cfg,
-            cfg=cfg,
-            gen_tx=gen_tx,
-            disc_tx=disc_tx,
-        )
+def make_gan_step(vocos_cfg, mpd_cfg, msd_cfg, cfg, gen_frozen, gen_tx, disc_tx,
+                  mesh=None):
+    """Jitted GAN step; with a mesh, the batch shards over (data, fsdp) and
+    params/optimizer state replicate — data-parallel GAN training with the
+    gradient psum inserted by XLA (the reference's DDP
+    find_unused_parameters dance, train_codec.py:254, disappears)."""
+    step = functools.partial(
+        gan_train_step,
+        gen_frozen=gen_frozen,
+        vocos_cfg=vocos_cfg,
+        mpd_cfg=mpd_cfg,
+        msd_cfg=msd_cfg,
+        cfg=cfg,
+        gen_tx=gen_tx,
+        disc_tx=disc_tx,
     )
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tts_max_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+    batch_sh = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    jitted = jax.jit(step)
+
+    def sharded(gen_trainable, disc_params, gen_opt, disc_opt, batch):
+        batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+        with mesh:
+            return jitted(gen_trainable, disc_params, gen_opt, disc_opt, batch)
+
+    return sharded
