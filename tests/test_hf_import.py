@@ -82,3 +82,25 @@ def test_resize_embeddings(hf_model_dir):
         jax.tree_util.tree_map(jnp.asarray, params), cfg, jnp.zeros((1, 4), jnp.int32)
     )
     assert logits.shape == (1, 4, 300)
+
+
+def test_training_loss_matches_torch(hf_model_dir):
+    """Cross-entropy on the same batch must match HF torch's causal-LM loss."""
+    d, hf_model = hf_model_dir
+    from tts_max_tpu.training.train_step import loss_fn
+
+    params, cfg = hf_import.load_model_from_hf_dir(d)
+    cfg = llama.replace(cfg, dtype=jnp.float32)
+    ids = np.array([[3, 7, 1, 99, 45, 200, 8, 12]], dtype=np.int64)
+    labels = ids.copy()
+    labels[:, :3] = -100
+    with torch.no_grad():
+        ref = hf_model(
+            input_ids=torch.from_numpy(ids), labels=torch.from_numpy(labels)
+        ).loss.item()
+    ours, toks = loss_fn(
+        jax.tree_util.tree_map(jnp.asarray, params), cfg,
+        {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)},
+    )
+    assert int(toks) == 5
+    np.testing.assert_allclose(float(ours), ref, rtol=1e-4)

@@ -56,3 +56,38 @@ def test_fsdp_sharded_forward_matches():
     np.testing.assert_array_equal(
         np.asarray(out).argmax(-1), np.asarray(ref).argmax(-1)
     )
+
+
+def test_llama8b_sharding_plan_abstract():
+    """The 8B flagship's partition specs must tile a (1, 4, 2) mesh without
+    materializing weights (eval_shape only) — every sharded dim divides."""
+    mesh = build_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    cfg = llama.llama31_8b_config()
+    shapes = jax.eval_shape(
+        lambda: llama.init_params(jax.random.PRNGKey(0), cfg)
+    )
+    shardings = params_shardings(shapes, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    sharded_leaves = 0
+    for path, sh in flat:
+        spec = sh.spec
+        if any(a is not None for a in spec):
+            sharded_leaves += 1
+    # all big kernels + embeddings must actually shard (not fall back)
+    assert sharded_leaves >= 8
+    emb = shardings["embed"]["embedding"].spec
+    assert emb == P("tensor", "fsdp")
+    wq = shardings["layers"]["attn"]["wq"]["kernel"].spec
+    assert wq == P(None, "fsdp", "tensor")
+    # jit the forward abstractly with these shardings: partitioning must be
+    # consistent (no shape errors at trace/lower time)
+    tokens = jax.ShapeDtypeStruct((2, 32), jnp.int32)
+    abstract_params = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        shapes, shardings,
+    )
+    with mesh:
+        lowered = jax.jit(
+            lambda p, t: llama.forward(p, cfg, t)
+        ).lower(abstract_params, tokens)
+    assert lowered is not None
