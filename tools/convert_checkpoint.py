@@ -36,6 +36,9 @@ def round_up(n: int, m: int) -> int:
 
 
 def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint_dir", required=True,
                         help="orbax final_model dir or checkpoints root")

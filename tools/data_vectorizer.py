@@ -82,6 +82,9 @@ def encode_samples(encoder: api.AudioEncoder, samples: list[Sample], args):
 
 
 def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--samples_path", required=True)
     parser.add_argument("--output_dir", required=True)

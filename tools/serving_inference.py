@@ -58,6 +58,9 @@ def build_codec(args):
 
 
 def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--text", required=True)

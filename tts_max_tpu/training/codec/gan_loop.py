@@ -176,6 +176,9 @@ def run_training(config: ExperimentConfig, args) -> None:
 
 
 def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Codec GAN training")
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--dataset_dir", default="")

@@ -73,6 +73,14 @@ def run_training(config: ExperimentConfig, args) -> None:
     mesh = pmesh.mesh_for_strategy(config.training.strategy)
     log.info("Mesh: %s", dict(mesh.shape))
 
+    dp_extent = mesh.shape["data"] * mesh.shape["fsdp"]
+    if config.training.batch_size % dp_extent != 0:
+        raise ValueError(
+            f"batch_size {config.training.batch_size} must be divisible by "
+            f"the data-parallel extent data*fsdp = {dp_extent} of the "
+            f"{dict(mesh.shape)} mesh"
+        )
+
     tokenizer, params, model_cfg = build_model_and_tokenizer(config)
     log.info(
         "Model: %s params, vocab %d", llama.param_count(params), model_cfg.vocab_size
@@ -242,6 +250,9 @@ def run_training(config: ExperimentConfig, args) -> None:
 
 
 def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="SpeechLM SFT/pretraining")
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--dry_run", action="store_true")
