@@ -20,7 +20,6 @@ bucket and exactly one decode program.
 from __future__ import annotations
 
 import collections
-import functools
 import itertools
 from dataclasses import dataclass, field
 from typing import Any, Callable

@@ -10,7 +10,6 @@ shapes throughout.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

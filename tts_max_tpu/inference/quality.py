@@ -15,8 +15,6 @@ import abc
 import os
 from typing import Sequence
 
-import numpy as np
-
 from tts_max_tpu.core.constants import CODEC_SAMPLE_RATE
 from tts_max_tpu.data.audio_io import load_wav, save_wav
 from tts_max_tpu.data.normalization import create as create_normalizer

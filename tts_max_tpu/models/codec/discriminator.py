@@ -11,11 +11,10 @@ last, mirroring the reference output structure.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tts_max_tpu.ops.stft import hann_window, stft
 

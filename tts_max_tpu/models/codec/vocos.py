@@ -17,7 +17,6 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tts_max_tpu.models.codec import fsq
 from tts_max_tpu.ops.attention import full_attention

@@ -19,7 +19,7 @@ Weight import: HF state dict (torch .bin/.safetensors) → stacked pytree.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Mapping
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Weight import from HF safetensors lives in models/hf_import.py.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import partial
 from typing import Any
 
 import jax

@@ -8,7 +8,6 @@ The SpeechLM uses Llama-3 scaled RoPE; the Vocos backbone uses plain RoPE
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ from __future__ import annotations
 import time
 from typing import Any, Callable, Iterator
 
-import jax
 import numpy as np
 
 from tts_max_tpu.core.config import ExperimentConfig

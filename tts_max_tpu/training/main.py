@@ -23,7 +23,7 @@ import numpy as np
 from tts_max_tpu.core.config import ExperimentConfig
 from tts_max_tpu.core.tokenization import build_byte_tokenizer, build_tokenizer
 from tts_max_tpu.data import builder
-from tts_max_tpu.data.collate import collate, prettify_batch
+from tts_max_tpu.data.collate import collate
 from tts_max_tpu.data.loader import DataLoader
 from tts_max_tpu.data.normalization import create as create_normalizer
 from tts_max_tpu.models import hf_import, llama

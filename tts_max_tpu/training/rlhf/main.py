@@ -15,7 +15,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tts_max_tpu.core.config import ExperimentConfig

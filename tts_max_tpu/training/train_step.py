@@ -17,7 +17,7 @@ loop to act on (checkpoint + stop, same contract).
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
