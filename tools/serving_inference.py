@@ -71,6 +71,8 @@ def main(argv=None):
     parser.add_argument("--codec_decoder", default="")
     parser.add_argument("--codec_encoder", default="")
     parser.add_argument("--max_tokens", type=int, default=1792)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-only quantization (2x decode throughput)")
     parser.add_argument("--temperature", type=float, default=0.8)
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
@@ -80,6 +82,13 @@ def main(argv=None):
     sv = speech_vocab(tokenizer)
     params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
     log.info("Loaded model from %s (vocab %d)", args.model_dir, cfg.vocab_size)
+    if args.quantize:
+        from tts_max_tpu.models import quantization
+
+        params = jax.jit(quantization.quantize_llama_params)(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+        log.info("Quantized weights to int8 (per-channel).")
     encoder, decoder = build_codec(args)
     model = LocalTtsModel(
         jax.tree_util.tree_map(jnp.asarray, params), cfg, tokenizer, sv, encoder,
