@@ -84,10 +84,14 @@ def lowpass1d(
 def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
     """Anti-aliased ratio× upsample (reference UpSample1d, filters.py:87-115).
 
-    Implemented as zero-stuffing + depthwise conv (equivalent to the
-    reference's transposed grouped conv, but XLA-friendlier via lhs dilation).
+    Fast path for ratio 2 (the only ratio Activation1d uses): polyphase
+    decomposition — two half-length depthwise convs on the UNdilated signal,
+    interleaved. Half the MACs of the zero-stuffed transposed conv, no
+    lhs-dilation overhead; verified exactly equivalent in tests.
     """
     kernel_size = kernel_size or int(6 * ratio // 2) * 2
+    if ratio == 2 and kernel_size % 2 == 0:
+        return _polyphase_upsample2x(x, kernel_size)
     stride = ratio
     pad = kernel_size // ratio - 1
     pad_left = pad * stride + (kernel_size - stride) // 2
@@ -109,6 +113,45 @@ def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -
     )
     y = ratio * y
     return y[:, pad_left:-pad_right]
+
+
+def _polyphase_upsample2x(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Polyphase 2× upsample, exactly matching the dilated-conv formulation.
+
+    With flipped taps t_f and edge pad p = K/2 - 1, full-padding convs of the
+    two tap phases align to output parities at offsets (K/2+1, K/2+2):
+      out[0::2] = 2 * conv(xp, t_f[0::2])[K/2+1 : ...]
+      out[1::2] = 2 * conv(xp, t_f[1::2])[K/2+2 : ...]
+    (offsets derived from the crop arithmetic of the reference; equality
+    is pinned by tests across shapes/channels).
+    """
+    pad = kernel_size // 2 - 1
+    taps = kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
+    t_f = taps[::-1].copy()
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    L = 2 * x.shape[1]
+    half = kernel_size // 2
+
+    def phase(taps1d):
+        k = jnp.asarray(taps1d)[:, None, None] * jnp.ones((1, 1, c), x.dtype)
+        return jax.lax.conv_general_dilated(
+            xp,
+            k.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(half - 1, half - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=c,
+        )
+    y_even = 2.0 * phase(t_f[0::2])
+    y_odd = 2.0 * phase(t_f[1::2])
+    # phase offsets under full (half-1) padding: half+1 and half+2
+    oe = half + 1
+    oo = half + 2
+    out = jnp.zeros((x.shape[0], L, c), x.dtype)
+    out = out.at[:, 0::2].set(y_even[:, oe : oe + (L + 1) // 2])
+    out = out.at[:, 1::2].set(y_odd[:, oo : oo + L // 2])
+    return out
 
 
 def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
