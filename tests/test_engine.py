@@ -108,3 +108,18 @@ def test_engine_eos_stops_early(setup):
     [res] = engine2.generate_all([p], max_new_tokens=10, eos_id=first)
     assert res.finish_reason == "eos"
     assert len(res.tokens) == 1
+
+
+def test_engine_with_int8_params(setup):
+    """The continuous-batching engine serves quantized weights unchanged."""
+    from tts_max_tpu.models import quantization as quant
+
+    cfg, params = setup
+    qparams = quant.quantize_llama_params(params)
+    engine = InferenceEngine(qparams, cfg, max_batch=2, max_len=128,
+                             sp=_greedy_sp())
+    prompts = [np.array([3, 4, 5], dtype=np.int32),
+               np.array([9, 8], dtype=np.int32)]
+    done = engine.generate_all(prompts, max_new_tokens=5, eos_id=-1)
+    assert len(done) == 2
+    assert all(len(c.tokens) == 5 for c in done)

@@ -84,13 +84,14 @@ def lowpass1d(
 def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
     """Anti-aliased ratio× upsample (reference UpSample1d, filters.py:87-115).
 
-    Fast path for ratio 2 (the only ratio Activation1d uses): polyphase
-    decomposition — two half-length depthwise convs on the UNdilated signal,
-    interleaved. Half the MACs of the zero-stuffed transposed conv, no
-    lhs-dilation overhead; verified exactly equivalent in tests.
+    CPU fast path for ratio 2: polyphase decomposition — two half-length
+    depthwise convs on the UNdilated signal, interleaved (half the MACs,
+    1.6x on CPU; verified exactly equivalent). On TPU the Mosaic-lowered
+    lhs-dilated conv is faster than the extra relayouts, so it stays default
+    (measured: 350 vs 186 audio-sec/s on the full acoustic encoder).
     """
     kernel_size = kernel_size or int(6 * ratio // 2) * 2
-    if ratio == 2 and kernel_size % 2 == 0:
+    if ratio == 2 and kernel_size % 2 == 0 and jax.default_backend() == "cpu":
         return _polyphase_upsample2x(x, kernel_size)
     stride = ratio
     pad = kernel_size // ratio - 1
@@ -148,10 +149,10 @@ def _polyphase_upsample2x(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     # phase offsets under full (half-1) padding: half+1 and half+2
     oe = half + 1
     oo = half + 2
-    out = jnp.zeros((x.shape[0], L, c), x.dtype)
-    out = out.at[:, 0::2].set(y_even[:, oe : oe + (L + 1) // 2])
-    out = out.at[:, 1::2].set(y_odd[:, oo : oo + L // 2])
-    return out
+    ev = y_even[:, oe : oe + L // 2]
+    od = y_odd[:, oo : oo + L // 2]
+    # interleave by stacking (cheap reshape, not a strided scatter)
+    return jnp.stack([ev, od], axis=2).reshape(x.shape[0], L, c)
 
 
 def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
