@@ -53,28 +53,59 @@ def build_encoder(args) -> api.AudioEncoder:
 
 
 def encode_samples(encoder: api.AudioEncoder, samples: list[Sample], args):
-    """Encode one process's samples; returns (codes, index, kept_samples)."""
+    """Encode one process's samples in batches; returns (codes, index, kept).
+
+    Batches zero-pad to the longest wav (bucketed to 1 s multiples so the
+    jitted encoder compiles once per bucket) and trim each sample back to
+    its own code count — the same approximation the reference's
+    pad_audio_batch collate makes (data_vectorizer.py:46-81).
+    """
+    hop = encoder._cfg.hop_length
     all_codes: list[np.ndarray] = []
     index: list[int] = []
     kept: list[Sample] = []
     offset = 0
     t0 = time.time()
+    batch_wavs: list[np.ndarray] = []
+    batch_samples: list[Sample] = []
+
+    def flush():
+        nonlocal offset
+        if not batch_wavs:
+            return
+        own_codes = [
+            pad_wav_for_encode(w[None], hop).shape[1] // hop for w in batch_wavs
+        ]
+        bucket = ((max(len(w) for w in batch_wavs) + 16000) // 16000) * 16000
+        padded = np.zeros((len(batch_wavs), bucket), dtype=np.float32)
+        for i, w in enumerate(batch_wavs):
+            padded[i, : len(w)] = w
+        codes = np.asarray(encoder.encode(padded))
+        for i, sample in enumerate(batch_samples):
+            n = own_codes[i]
+            all_codes.append(codes[i, :n].astype(np.int32))
+            index.append(offset)
+            offset += n
+            kept.append(sample)
+        batch_wavs.clear()
+        batch_samples.clear()
+
     for i, sample in enumerate(samples):
         try:
             wav, _ = load_wav(sample.wav_path, CODEC_SAMPLE_RATE)
         except Exception as e:  # unreadable wavs are skipped (reference :99-104)
             log.warning("Skipping sample [%s] because: %s", sample.wav_path, e)
             continue
-        codes = encoder.encode(wav[0])
-        all_codes.append(np.asarray(codes, dtype=np.int32))
-        index.append(offset)
-        offset += len(codes)
-        kept.append(sample)
+        batch_wavs.append(wav[0])
+        batch_samples.append(sample)
+        if len(batch_wavs) >= args.batch_size:
+            flush()
         if (i + 1) % 100 == 0:
             log.info(
                 "Encoded %d/%d samples (%.2f samples/s)",
                 i + 1, len(samples), (i + 1) / (time.time() - t0),
             )
+    flush()
     codes_arr = (
         np.concatenate(all_codes) if all_codes else np.zeros(0, dtype=np.int32)
     )
