@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tts_max_tpu.core.constants import FIXED_VOCAB_SIZE
-from tts_max_tpu.ops.attention import causal_attention, decode_attention
+from tts_max_tpu.ops.attention import (
+    causal_attention,
+    decode_attention,
+    decode_attention_bucketed,
+)
 from tts_max_tpu.ops.norms import rms_norm
 from tts_max_tpu.models.quantization import embed_lookup, matmul, tied_logits
 from tts_max_tpu.ops.rope import apply_rope, rope_table

@@ -83,6 +83,49 @@ def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def decode_attention_bucketed(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,
+    bucket: int = 256,
+) -> jnp.ndarray:
+    """Decode attention reading only the smallest static cache PREFIX that
+    covers max(lengths), chosen at runtime via lax.switch.
+
+    A full-length KV reservation (e.g. 1856 for a 1792-token budget) makes
+    naive decode attention read the whole padded cache every step — early
+    in generation that is ~10x wasted HBM traffic. Each switch branch slices
+    a static prefix (multiples of ``bucket``), so XLA compiles a handful of
+    attention sizes and the loop pays only for the tokens that exist.
+
+    MEASURED (v5e, 1B int8, batch 32, cache 1856): lax.switch dispatch costs
+    more than the saved reads inside the decode while_loop (726 vs 1008
+    tok/s), so the model keeps plain decode_attention; staged cache growth
+    at the generate level is the better fix (future work). Kept for callers
+    outside tight loops.
+    """
+    max_len = k_cache.shape[1]
+    n_buckets = (max_len + bucket - 1) // bucket
+    if n_buckets <= 1:
+        return decode_attention(q, k_cache, v_cache, lengths)
+    idx = jnp.clip((jnp.max(lengths) + bucket - 1) // bucket - 1, 0, n_buckets - 1)
+
+    def branch(i):
+        prefix = min((i + 1) * bucket, max_len)
+
+        def fn(q, k_cache, v_cache, lengths):
+            return decode_attention(
+                q, k_cache[:, :prefix], v_cache[:, :prefix], lengths
+            )
+
+        return fn
+
+    return jax.lax.switch(
+        idx, [branch(i) for i in range(n_buckets)], q, k_cache, v_cache, lengths
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def decode_attention(
     q: jnp.ndarray,
