@@ -69,6 +69,7 @@ class InferenceEngine:
         max_len: int = 2048,
         sp: SamplingParams = SamplingParams(),
         pad_id: int = 0,
+        quantized_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -76,8 +77,11 @@ class InferenceEngine:
         self.max_len = max_len
         self.sp = sp
         self.pad_id = pad_id
+        self.quantized_kv = quantized_kv
 
-        self.cache = llama.init_kv_cache(cfg, max_batch, max_len)
+        self.cache = llama.init_kv_cache(
+            cfg, max_batch, max_len, quantized=quantized_kv
+        )
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.last_logits = jnp.zeros((max_batch, cfg.vocab_size), jnp.float32)
         self.active = jnp.zeros((max_batch,), dtype=bool)
@@ -149,29 +153,13 @@ class InferenceEngine:
 
             def fn(params, cache, tokens, length, slot, token_counts):
                 # batch-1 prefill into a fresh region, scattered into the pool
-                small = {
-                    "k": jnp.zeros(
-                        (self.cfg.n_layers, 1, bucket, self.cfg.n_kv_heads,
-                         self.cfg.head_dim),
-                        cache["k"].dtype,
-                    ),
-                    "v": jnp.zeros(
-                        (self.cfg.n_layers, 1, bucket, self.cfg.n_kv_heads,
-                         self.cfg.head_dim),
-                        cache["v"].dtype,
-                    ),
-                }
+                small = llama.init_kv_cache(
+                    self.cfg, 1, bucket, quantized=self.quantized_kv
+                )
                 logits, small = llama.prefill(
                     params, self.cfg, tokens, length, small
                 )
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], small["k"], (0, slot, 0, 0, 0)
-                    ),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], small["v"], (0, slot, 0, 0, 0)
-                    ),
-                }
+                cache = llama.update_cache_slice(cache, small, 0, slot, 0)
                 mask = jnp.arange(bucket)[None, :] < length[:, None]
                 counts = sampling.counts_from_tokens(
                     tokens, mask, self.cfg.vocab_size

@@ -37,18 +37,21 @@ def generate(
     eos_id: int,
     pad_id: int = 0,
     cache_len: int | None = None,
+    quantized_kv: bool = False,
 ) -> GenerateResult:
     """prompt_tokens: right-padded [B, S]; returns generated tokens only.
 
     The full loop (prefill + decode) traces into a single XLA program; wrap
     in jax.jit (static: cfg, sp, max_new_tokens, eos_id, pad_id, cache_len).
+    ``quantized_kv`` stores the KV cache as per-token int8 (half the HBM
+    traffic of bf16 in the bandwidth-bound decode loop; models/llama.py).
     """
     b, s = prompt_tokens.shape
     cache_len = cache_len or (s + max_new_tokens)
     if cache_len < s + max_new_tokens:
         raise ValueError("cache_len too small for prompt + max_new_tokens")
 
-    cache = llama.init_kv_cache(cfg, b, cache_len)
+    cache = llama.init_kv_cache(cfg, b, cache_len, quantized=quantized_kv)
     logits, cache = llama.prefill(params, cfg, prompt_tokens, prompt_lengths, cache)
 
     prompt_mask = (
@@ -100,12 +103,13 @@ def generate(
     return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
 
 
-def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None):
+def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
+                     quantized_kv=False):
     def fn(params, prompt_tokens, prompt_lengths, rng):
         return generate(
             params, cfg, prompt_tokens, prompt_lengths, rng,
             sp=sp, max_new_tokens=max_new_tokens, eos_id=eos_id,
-            pad_id=pad_id, cache_len=cache_len,
+            pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
         )
 
     return jax.jit(fn)

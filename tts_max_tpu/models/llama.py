@@ -237,10 +237,68 @@ def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarra
 # --- KV-cached generation ---------------------------------------------------
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=None, *, quantized: bool = False
+):
+    """Padded KV cache. ``quantized=True`` stores int8 payloads with
+    per-(layer, slot, token, head) fp32 scales — half the HBM read of bf16
+    per decode step, which dominates step time at serving context lengths
+    (the decode loop is bandwidth-bound, BENCHMARKS.md)."""
     dtype = dtype or cfg.dtype
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        entry = {
+            "q": jnp.zeros(shape, jnp.int8),
+            "scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+        return {"k": entry, "v": dict(entry)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_is_quantized(cache) -> bool:
+    return isinstance(cache["k"], dict)
+
+
+def cache_max_len(cache) -> int:
+    return (cache["k"]["q"] if cache_is_quantized(cache) else cache["k"]).shape[2]
+
+
+def _quantize_kv(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Per-(…, head) symmetric int8 over the feature dim."""
+    from tts_max_tpu.models.quantization import quantize_tensor
+
+    return quantize_tensor(x, axis=x.ndim - 1)
+
+
+def grow_cache(cache, new_len: int):
+    """Zero-pad the token axis (axis 2 for every leaf) to ``new_len``.
+
+    For staged-cache generation: decode early tokens against a small cache,
+    growing it only when occupancy requires."""
+    old_len = cache_max_len(cache)
+    if new_len < old_len:
+        raise ValueError(f"cannot shrink cache {old_len} -> {new_len}")
+    if new_len == old_len:
+        return cache
+    pad = new_len - old_len
+
+    def leaf(x):
+        widths = [(0, 0)] * x.ndim
+        widths[2] = (0, pad)
+        return jnp.pad(x, widths)
+
+    return jax.tree.map(leaf, cache)
+
+
+def update_cache_slice(cache, small, layer0: int, slot, pos0: int):
+    """Scatter a small cache block (same structure) into the pool at
+    (layer0, slot, pos0) — the engine's per-slot prefill write."""
+
+    def leaf(big, little):
+        start = (layer0, slot, pos0) + (0,) * (big.ndim - 3)
+        return jax.lax.dynamic_update_slice(big, little.astype(big.dtype), start)
+
+    return jax.tree.map(leaf, cache, small)
 
 
 def prefill(
@@ -270,15 +328,11 @@ def prefill(
         return (h,), (k, v)
 
     (h,), (ks, vs) = jax.lax.scan(layer_fn, (h,), params["layers"])
-    max_len = cache["k"].shape[2]
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)
-        ),
-    }
+    if cache_is_quantized(cache):
+        small = {"k": _quantize_kv(ks), "v": _quantize_kv(vs)}
+    else:
+        small = {"k": ks, "v": vs}
+    cache = update_cache_slice(cache, small, 0, 0, 0)
     logits = _logits(h, params, cfg)
     last = jnp.take_along_axis(
         logits, (lengths - 1)[:, None, None], axis=1
@@ -301,7 +355,7 @@ def decode_step(
     """
     b = tokens.shape[0]
     cos, sin = rope_table(
-        cfg.head_dim, cache["k"].shape[2], cfg.rope_theta, cfg.use_llama3_rope_scaling
+        cfg.head_dim, cache_max_len(cache), cfg.rope_theta, cfg.use_llama3_rope_scaling
     )
     h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)  # [B, D]
     pos_cos = jnp.take(cos, lengths, axis=0)[:, None, :]  # [B, 1, hd/2]
@@ -331,8 +385,20 @@ def decode_step(
             b, cfg.n_kv_heads, cfg.head_dim
         )
         q, k = rope1(q), rope1(k)
-        k_cache = k_cache.at[batch_idx, lengths].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, lengths].set(v.astype(v_cache.dtype))
+
+        def write(cache_entry, x):
+            if isinstance(cache_entry, dict):  # int8 KV: quantize on write
+                xq = _quantize_kv(x)
+                return {
+                    "q": cache_entry["q"].at[batch_idx, lengths].set(xq["q"]),
+                    "scale": cache_entry["scale"]
+                    .at[batch_idx, lengths]
+                    .set(xq["scale"]),
+                }
+            return cache_entry.at[batch_idx, lengths].set(x.astype(cache_entry.dtype))
+
+        k_cache = write(k_cache, k)
+        v_cache = write(v_cache, v)
         o = decode_attention(q, k_cache, v_cache, lengths + 1).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]

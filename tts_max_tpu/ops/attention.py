@@ -105,7 +105,10 @@ def decode_attention_bucketed(
     at the generate level is the better fix (future work). Kept for callers
     outside tight loops.
     """
-    max_len = k_cache.shape[1]
+    def _prefix(c, p):
+        return jax.tree.map(lambda x: x[:, :p], c) if isinstance(c, dict) else c[:, :p]
+
+    max_len = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[1]
     n_buckets = (max_len + bucket - 1) // bucket
     if n_buckets <= 1:
         return decode_attention(q, k_cache, v_cache, lengths)
@@ -116,7 +119,7 @@ def decode_attention_bucketed(
 
         def fn(q, k_cache, v_cache, lengths):
             return decode_attention(
-                q, k_cache[:, :prefix], v_cache[:, :prefix], lengths
+                q, _prefix(k_cache, prefix), _prefix(v_cache, prefix), lengths
             )
 
         return fn
@@ -129,27 +132,45 @@ def decode_attention_bucketed(
 @functools.partial(jax.jit, static_argnames=())
 def decode_attention(
     q: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
+    k_cache,
+    v_cache,
     lengths: jnp.ndarray,
 ) -> jnp.ndarray:
     """One-token decode attention against a padded KV cache.
 
     q: [B, Hq, D] (the new token's query)
     k_cache/v_cache: [B, max_len, Hkv, D] — positions >= lengths are garbage.
+    Either may instead be a quantized cache ``{"q": int8 [B, max_len, Hkv, D],
+    "scale": f32 [B, max_len, Hkv]}`` (per-token-per-head symmetric int8);
+    the int8 payload is what streams from HBM — half the bytes of bf16 — and
+    the scales fold into the attention logits / probabilities, so accuracy
+    loss is negligible (per-token scales absorb RoPE magnitude variation).
     lengths: [B] number of valid cache entries (including the new token).
     Returns [B, Hq, D].
     """
-    b, max_len, hkv, d = k_cache.shape
+    k_quant = isinstance(k_cache, dict)
+    v_quant = isinstance(v_cache, dict)
+    kq = k_cache["q"] if k_quant else k_cache
+    vq = v_cache["q"] if v_quant else v_cache
+    b, max_len, hkv, d = kq.shape
     hq = q.shape[1]
     n_rep = hq // hkv
     scale = d ** -0.5
     # [B, max_len, Hkv, n_rep] logits via einsum on grouped heads
     qg = q.reshape(b, hkv, n_rep, d)
-    logits = jnp.einsum("bgrd,bkgd->bgrk", qg, k_cache).astype(jnp.float32) * scale
+    logits = jnp.einsum(
+        "bgrd,bkgd->bgrk", qg, kq.astype(q.dtype)
+    ).astype(jnp.float32) * scale
+    if k_quant:
+        # fold per-(token, head) K scales into the logits: [B,k,g] -> [B,g,1,k]
+        logits = logits * jnp.moveaxis(k_cache["scale"], 1, 2)[:, :, None, :]
     pos = jnp.arange(max_len)[None, None, None, :]
     mask = pos < lengths[:, None, None, None]
     logits = jnp.where(mask, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bgrk,bkgd->bgrd", probs, v_cache)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_quant:
+        # fold per-(token, head) V scales into the probabilities (fp32)
+        probs = probs * jnp.moveaxis(v_cache["scale"], 1, 2)[:, :, None, :]
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bgrk,bkgd->bgrd", probs, vq.astype(q.dtype))
     return out.reshape(b, hq, d)
