@@ -44,7 +44,7 @@ def main():
     from tts_max_tpu.models import llama
     from tts_max_tpu.ops import sampling
 
-    batch = 64
+    batch = 128  # sweep: 64 -> 9595, 128 -> 11424 tok/s; 256 fails remote compile
     prompt_len = 64
     decode_steps = 128
 

@@ -113,3 +113,59 @@ def test_jitted_generate(tiny):
     toks, lens = _prompt(2, 6, cfg, seed=6)
     res = fn(params, toks, lens, jax.random.PRNGKey(0))
     assert res.tokens.shape == (2, 8)
+
+
+def test_generate_staged_matches_unstaged(tiny):
+    """Staged (doubling) caches produce the same greedy tokens as one
+    full-size cache, for every KV precision."""
+    cfg, params = tiny
+    toks, lens = _prompt(2, 8, cfg, seed=3)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    # cache_len 640 -> staged sizes [256, 512, 640]
+    common = dict(sp=sp, max_new_tokens=600, eos_id=-1, cache_len=640)
+    for qkv in (False, True):
+        ref = generate(params, cfg, toks, lens, jax.random.PRNGKey(0),
+                       quantized_kv=qkv, **common)
+        ours = generate(params, cfg, toks, lens, jax.random.PRNGKey(0),
+                        quantized_kv=qkv, staged=True, **common)
+        np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                      np.asarray(ours.tokens))
+        assert int(ours.steps) == 600
+
+
+def test_generate_staged_eos_early_exit(tiny):
+    """EOS in the first stage: later stages' while_loops must no-op."""
+    cfg, params = tiny
+    toks, lens = _prompt(1, 8, cfg, seed=4)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    probe = generate(params, cfg, toks, lens, jax.random.PRNGKey(0),
+                     sp=sp, max_new_tokens=4, eos_id=-1, cache_len=640,
+                     staged=True)
+    first = int(np.asarray(probe.tokens)[0, 0])
+    res = generate(params, cfg, toks, lens, jax.random.PRNGKey(0),
+                   sp=sp, max_new_tokens=600, eos_id=first, cache_len=640,
+                   staged=True)
+    assert int(res.num_generated[0]) == 1
+    assert int(res.steps) <= 2
+
+
+def test_host_staged_generate_matches(tiny):
+    """Per-stage dispatch produces the same tokens as the monolithic
+    staged program."""
+    from tts_max_tpu.inference.generate import make_host_staged_generate_fn
+
+    cfg, params = tiny
+    toks, lens = _prompt(2, 8, cfg, seed=5)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    ref = generate(params, cfg, toks, lens, jax.random.PRNGKey(0),
+                   sp=sp, max_new_tokens=600, eos_id=-1, cache_len=640,
+                   staged=True)
+    fn = make_host_staged_generate_fn(cfg, sp, max_new_tokens=600, eos_id=-1,
+                                      cache_len=640)
+    res = fn(params, toks, lens, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(res.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(res.num_generated))

@@ -1,4 +1,4 @@
-"""KV-cached autoregressive generation — one jitted program.
+"""KV-cached autoregressive generation — jitted while_loop decode.
 
 Replaces HF ``model.generate`` / vLLM sampling (reference
 inferencing.py:66-107) with a TPU-native design: prefill + a
@@ -6,10 +6,20 @@ inferencing.py:66-107) with a TPU-native design: prefill + a
 host round-trip), with on-device sampling (temperature / top-k / top-p /
 repetition / frequency penalties), per-sequence EOS early-exit, and static
 shapes throughout.
+
+Two dispatch shapes:
+
+- ``generate`` / ``make_generate_fn``: the whole loop (prefill + all decode
+  stages) traces into ONE XLA program.
+- ``make_host_staged_generate_fn``: one jitted program per cache stage,
+  orchestrated from host (arrays never leave the device). Same arithmetic
+  as ``staged=True``, but per-program run time stays bounded and stage
+  programs are shared across calls with different prompt shapes.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -25,50 +35,43 @@ class GenerateResult(NamedTuple):
     steps: jnp.ndarray  # scalar: decode iterations executed
 
 
-def generate(
-    params,
-    cfg: llama.LlamaConfig,
-    prompt_tokens: jnp.ndarray,
-    prompt_lengths: jnp.ndarray,
-    rng: jax.Array,
-    *,
-    sp: sampling.SamplingParams,
-    max_new_tokens: int,
-    eos_id: int,
-    pad_id: int = 0,
-    cache_len: int | None = None,
-    quantized_kv: bool = False,
-) -> GenerateResult:
-    """prompt_tokens: right-padded [B, S]; returns generated tokens only.
+def _stage_sizes(s: int, cache_len: int, staged: bool) -> list[int]:
+    """Doubling cache sizes [first, 2*first, ..., cache_len] (or just
+    [cache_len] unstaged). first covers the prompt plus one decode write."""
+    if not staged:
+        return [cache_len]
+    first = min(cache_len, max(256, -(-(s + 1) // 128) * 128))
+    sizes = [first]
+    while sizes[-1] < cache_len:
+        sizes.append(min(cache_len, sizes[-1] * 2))
+    return sizes
 
-    The full loop (prefill + decode) traces into a single XLA program; wrap
-    in jax.jit (static: cfg, sp, max_new_tokens, eos_id, pad_id, cache_len).
-    ``quantized_kv`` stores the KV cache as per-token int8 (half the HBM
-    traffic of bf16 in the bandwidth-bound decode loop; models/llama.py).
-    """
+
+def _init_state(params, cfg, prompt_tokens, prompt_lengths, rng, *,
+                max_new_tokens, pad_id, first_size, quantized_kv):
+    """Prefill into a first-stage cache and build the decode-loop state."""
     b, s = prompt_tokens.shape
-    cache_len = cache_len or (s + max_new_tokens)
-    if cache_len < s + max_new_tokens:
-        raise ValueError("cache_len too small for prompt + max_new_tokens")
-
-    cache = llama.init_kv_cache(cfg, b, cache_len, quantized=quantized_kv)
+    cache = llama.init_kv_cache(cfg, b, first_size, quantized=quantized_kv)
     logits, cache = llama.prefill(params, cfg, prompt_tokens, prompt_lengths, cache)
-
-    prompt_mask = (
-        jnp.arange(s)[None, :] < prompt_lengths[:, None]
-    )
+    prompt_mask = jnp.arange(s)[None, :] < prompt_lengths[:, None]
     token_counts = sampling.counts_from_tokens(
         prompt_tokens, prompt_mask, cfg.vocab_size
     )
-    gen_counts = jnp.zeros_like(token_counts)
-    out = jnp.full((b, max_new_tokens), pad_id, dtype=jnp.int32)
-    done = jnp.zeros((b,), dtype=bool)
-    n_gen = jnp.zeros((b,), dtype=jnp.int32)
+    return (
+        jnp.zeros((), jnp.int32),  # i
+        cache,
+        logits,
+        prompt_lengths,  # lengths
+        rng,
+        token_counts,
+        jnp.zeros_like(token_counts),  # gen_counts
+        jnp.zeros((b,), dtype=bool),  # done
+        jnp.full((b, max_new_tokens), pad_id, dtype=jnp.int32),  # out
+        jnp.zeros((b,), dtype=jnp.int32),  # n_gen
+    )
 
-    def cond(state):
-        i, _, _, _, _, _, _, done, _, _ = state
-        return (i < max_new_tokens) & ~jnp.all(done)
 
+def _make_body(params, cfg, sp, eos_id, pad_id, b):
     def body(state):
         i, cache, logits, lengths, rng, token_counts, gen_counts, done, out, n_gen = state
         rng, k = jax.random.split(rng)
@@ -86,30 +89,161 @@ def generate(
         return (i + 1, cache, logits, lengths, rng, token_counts, gen_counts,
                 done, out, n_gen)
 
-    state = (
-        jnp.zeros((), jnp.int32),
-        cache,
-        logits,
-        prompt_lengths,
-        rng,
-        token_counts,
-        gen_counts,
-        done,
-        out,
-        n_gen,
+    return body
+
+
+def _make_cond(limit):
+    def cond(state):
+        i, _, _, _, _, _, _, done, _, _ = state
+        return (i < limit) & ~jnp.all(done)
+
+    return cond
+
+
+def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit):
+    """Grow the cache to ``size`` and decode until step ``limit`` (or EOS).
+
+    A stage's decode_step writes at index <= s-1 + i, so the i bound for a
+    size-``size`` cache is size - s (the caller passes the min with
+    max_new_tokens). ``limit`` may be a traced scalar (host-staged path).
+    """
+    b = state[3].shape[0]
+    state = (state[0], llama.grow_cache(state[1], size)) + state[2:]
+    body = _make_body(params, cfg, sp, eos_id, pad_id, b)
+    return jax.lax.while_loop(_make_cond(limit), body, state)
+
+
+def generate(
+    params,
+    cfg: llama.LlamaConfig,
+    prompt_tokens: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    sp: sampling.SamplingParams,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+    cache_len: int | None = None,
+    quantized_kv: bool = False,
+    staged: bool = False,
+) -> GenerateResult:
+    """prompt_tokens: right-padded [B, S]; returns generated tokens only.
+
+    The full loop (prefill + decode) traces into a single XLA program; wrap
+    in jax.jit (static: cfg, sp, max_new_tokens, eos_id, pad_id, cache_len).
+    ``quantized_kv`` stores the KV cache as per-token int8 (half the HBM
+    traffic of bf16 in the bandwidth-bound decode loop; models/llama.py).
+    ``staged`` decodes against a cache that starts small and doubles as it
+    fills (one while_loop per stage, grow_cache between): every step reads a
+    cache at most 2x its occupancy instead of the full-length padded buffer,
+    which dominates HBM traffic for long generations (+48% at a 960-token
+    cache, BENCHMARKS.md).
+    """
+    b, s = prompt_tokens.shape
+    cache_len = cache_len or (s + max_new_tokens)
+    if cache_len < s + max_new_tokens:
+        raise ValueError("cache_len too small for prompt + max_new_tokens")
+
+    sizes = _stage_sizes(s, cache_len, staged)
+    state = _init_state(
+        params, cfg, prompt_tokens, prompt_lengths, rng,
+        max_new_tokens=max_new_tokens, pad_id=pad_id, first_size=sizes[0],
+        quantized_kv=quantized_kv,
     )
-    state = jax.lax.while_loop(cond, body, state)
+    for size in sizes:
+        state = _run_stage(
+            params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
+            size=size, limit=min(max_new_tokens, size - s),
+        )
     (steps, _, _, _, _, _, _, _, out, n_gen) = state
     return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
 
 
 def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
-                     quantized_kv=False):
+                     quantized_kv=False, staged=False):
     def fn(params, prompt_tokens, prompt_lengths, rng):
         return generate(
             params, cfg, prompt_tokens, prompt_lengths, rng,
             sp=sp, max_new_tokens=max_new_tokens, eos_id=eos_id,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
+            staged=staged,
         )
 
     return jax.jit(fn)
+
+
+def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
+                                 cache_len=None, quantized_kv=False,
+                                 max_steps_per_dispatch=512):
+    """Staged generation with one jitted program per cache size.
+
+    Numerically identical to ``make_generate_fn(..., staged=True)`` but
+    host-orchestrated: the stage step-limit is a traced scalar, so ONE
+    compiled program per cache size is re-invoked with at most
+    ``max_steps_per_dispatch`` decode steps per execution (device arrays are
+    threaded through; only the step counter is fetched between dispatches).
+    This bounds both compile-unit size and single-execution run time — long
+    generations on this environment's relayed TPU require the latter (the
+    relay drops executions running for roughly a minute) — while stage
+    programs are shared across calls. Set ``max_steps_per_dispatch=None``
+    for one dispatch per stage.
+    """
+    init = jax.jit(
+        functools.partial(
+            _wrapped_init, cfg=cfg, max_new_tokens=max_new_tokens,
+            pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
+        )
+    )
+    grow_jits: dict[int, callable] = {}
+    stage_jits: dict[int, callable] = {}
+
+    def fn(params, prompt_tokens, prompt_lengths, rng) -> GenerateResult:
+        b, s = prompt_tokens.shape
+        cl = cache_len or (s + max_new_tokens)
+        if cl < s + max_new_tokens:
+            raise ValueError("cache_len too small for prompt + max_new_tokens")
+        state = init(params, prompt_tokens, prompt_lengths, rng)
+        i = 0
+        for size in _stage_sizes(s, cl, True):
+            if size not in grow_jits:
+                # donate: the pre-grow cache must not stay alive next to the
+                # grown one (two near-full caches won't fit HBM at 8B scale)
+                grow_jits[size] = jax.jit(
+                    functools.partial(llama.grow_cache, new_len=size),
+                    donate_argnums=(0,),
+                )
+            if size not in stage_jits:
+                stage_jits[size] = jax.jit(
+                    functools.partial(
+                        _run_stage, cfg=cfg, sp=sp, eos_id=eos_id,
+                        pad_id=pad_id, size=size,
+                    ),
+                    donate_argnums=(1,),  # consume the input state in place
+                )
+            state = (state[0], grow_jits[size](state[1])) + state[2:]
+            target = min(max_new_tokens, size - s)
+            while i < target:
+                limit = (target if max_steps_per_dispatch is None
+                         else min(target, i + max_steps_per_dispatch))
+                state = stage_jits[size](
+                    params, state, limit=jnp.asarray(limit, jnp.int32)
+                )
+                prev, i = i, int(state[0])
+                if i == prev:  # no progress: every sequence hit EOS
+                    i = target
+        (steps, _, _, _, _, _, _, _, out, n_gen) = state
+        return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
+
+    return fn
+
+
+def _wrapped_init(params, prompt_tokens, prompt_lengths, rng, *, cfg,
+                  max_new_tokens, pad_id, cache_len, quantized_kv):
+    s = prompt_tokens.shape[1]
+    cl = cache_len or (s + max_new_tokens)
+    return _init_state(
+        params, cfg, prompt_tokens, prompt_lengths, rng,
+        max_new_tokens=max_new_tokens, pad_id=pad_id,
+        first_size=_stage_sizes(s, cl, True)[0], quantized_kv=quantized_kv,
+    )

@@ -24,7 +24,7 @@ import numpy as np
 
 from tts_max_tpu.core import prompting
 from tts_max_tpu.core.tokenization import SpeechVocab
-from tts_max_tpu.inference.generate import make_generate_fn
+from tts_max_tpu.inference.generate import make_host_staged_generate_fn
 from tts_max_tpu.models import llama
 from tts_max_tpu.ops.sampling import SamplingParams
 from tts_max_tpu.utils.statistics import Timer
@@ -96,7 +96,9 @@ class LocalTtsModel:
         bucket = _bucket(n)
         key = (bucket, settings.max_tokens, dataclasses.astuple(settings)[:7])
         if key not in self._gen_cache:
-            self._gen_cache[key] = make_generate_fn(
+            # host-staged: the cache grows as generation fills it, and no
+            # single XLA execution spans the whole (up to 1792-token) loop
+            self._gen_cache[key] = make_host_staged_generate_fn(
                 self._cfg,
                 settings.sampling_params(),
                 max_new_tokens=settings.max_tokens,

@@ -372,8 +372,13 @@ def decode_step(
         return out.astype(x.dtype)
 
     def layer_fn(carry, scanned):
-        h, = carry
-        lp, k_cache, v_cache = scanned
+        # The FULL stacked cache rides the scan carry (not xs/ys): the new
+        # token's row is scattered in place and only the current layer is
+        # sliced for attention. With cache as xs/ys every step would COPY
+        # the whole cache (read xs + write ys) on top of the attention read
+        # — 3x the HBM traffic of this formulation.
+        h, k_all, v_all = carry
+        lp, layer = scanned
         x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
         q = (matmul(x, lp["attn"]["wq"]["kernel"])).reshape(
             b, cfg.n_heads, cfg.head_dim
@@ -390,22 +395,39 @@ def decode_step(
             if isinstance(cache_entry, dict):  # int8 KV: quantize on write
                 xq = _quantize_kv(x)
                 return {
-                    "q": cache_entry["q"].at[batch_idx, lengths].set(xq["q"]),
+                    "q": cache_entry["q"]
+                    .at[layer, batch_idx, lengths]
+                    .set(xq["q"]),
                     "scale": cache_entry["scale"]
-                    .at[batch_idx, lengths]
+                    .at[layer, batch_idx, lengths]
                     .set(xq["scale"]),
                 }
-            return cache_entry.at[batch_idx, lengths].set(x.astype(cache_entry.dtype))
+            return cache_entry.at[layer, batch_idx, lengths].set(
+                x.astype(cache_entry.dtype)
+            )
 
-        k_cache = write(k_cache, k)
-        v_cache = write(v_cache, v)
-        o = decode_attention(q, k_cache, v_cache, lengths + 1).astype(h.dtype)
+        def layer_slice(cache_entry):
+            take = lambda c: jax.lax.dynamic_index_in_dim(
+                c, layer, 0, keepdims=False
+            )
+            if isinstance(cache_entry, dict):
+                return {"q": take(cache_entry["q"]),
+                        "scale": take(cache_entry["scale"])}
+            return take(cache_entry)
+
+        k_all = write(k_all, k)
+        v_all = write(v_all, v)
+        o = decode_attention(
+            q, layer_slice(k_all), layer_slice(v_all), lengths + 1
+        ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
-        return (h,), (k_cache, v_cache)
+        return (h, k_all, v_all), None
 
-    (h,), (ks, vs) = jax.lax.scan(
-        layer_fn, (h,), (params["layers"], cache["k"], cache["v"])
+    (h, ks, vs), _ = jax.lax.scan(
+        layer_fn,
+        (h, cache["k"], cache["v"]),
+        (params["layers"], jnp.arange(cfg.n_layers)),
     )
     logits = _logits(h[:, None, :], params, cfg)[:, 0]
     return logits, {"k": ks, "v": vs}
