@@ -79,6 +79,13 @@ def run_training(config: ExperimentConfig, args) -> None:
     )
     log.info("RLHF dataset: %d prompts", len(dataset))
 
+    backends = {}
+    if getattr(args, "whisper_dir", "") and os.path.isdir(args.whisper_dir):
+        from tts_max_tpu.training.rlhf.asr import load_transcriber
+
+        backends["transcribe_fn"] = load_transcriber(args.whisper_dir)
+        log.info("WER reward backed by native JAX Whisper: %s", args.whisper_dir)
+
     reward_funcs = create_reward_funcs(
         config.rlhf.reward_funcs,
         decoder,
@@ -86,6 +93,7 @@ def run_training(config: ExperimentConfig, args) -> None:
         save_completions_steps=config.rlhf.save_completions_every_n_steps,
         save_dir=os.path.join(config.output_dir, "completion_samples"),
         logging_steps=config.training.logging_steps,
+        backends=backends,
     )
 
     trainer = GRPOTrainer(
@@ -135,6 +143,11 @@ def main(argv=None):
     parser.add_argument("--model_dir", default="")
     parser.add_argument("--architecture", default="llama-tiny")
     parser.add_argument("--codec_decoder", default="")
+    parser.add_argument(
+        "--whisper_dir",
+        default=os.environ.get("WHISPER_CHECKPOINT", ""),
+        help="Local HF Whisper dir for the WER reward (native JAX ASR).",
+    )
     parser.add_argument("--total_steps", type=int, default=100)
     args = parser.parse_args(argv)
     config = ExperimentConfig.from_json(args.config_path, required=False)
