@@ -85,6 +85,16 @@ def run_training(config: ExperimentConfig, args) -> None:
 
         backends["transcribe_fn"] = load_transcriber(args.whisper_dir)
         log.info("WER reward backed by native JAX Whisper: %s", args.whisper_dir)
+    if getattr(args, "dnsmos_dir", "") and os.path.isdir(args.dnsmos_dir):
+        from tts_max_tpu.training.rlhf.dnsmos import load_dnsmos
+
+        primary = os.path.join(args.dnsmos_dir, "sig_bak_ovr.onnx")
+        p808 = os.path.join(args.dnsmos_dir, "model_v8.onnx")
+        backends["dnsmos_fn"] = load_dnsmos(
+            primary if os.path.exists(primary) else None,
+            p808 if os.path.exists(p808) else None,
+        )
+        log.info("DNSMOS reward backed by onnx_lite: %s", args.dnsmos_dir)
 
     reward_funcs = create_reward_funcs(
         config.rlhf.reward_funcs,
@@ -147,6 +157,11 @@ def main(argv=None):
         "--whisper_dir",
         default=os.environ.get("WHISPER_CHECKPOINT", ""),
         help="Local HF Whisper dir for the WER reward (native JAX ASR).",
+    )
+    parser.add_argument(
+        "--dnsmos_dir",
+        default=os.environ.get("DNSMOS_ONNX_DIR", ""),
+        help="Dir with DNSMOS ONNX weights (sig_bak_ovr.onnx / model_v8.onnx).",
     )
     parser.add_argument("--total_steps", type=int, default=100)
     args = parser.parse_args(argv)
