@@ -1,0 +1,217 @@
+"""Paged KV cache: block-table attention kernel + paged engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
+from tts_max_tpu.models import llama
+from tts_max_tpu.ops import paged_attention as pattn
+from tts_max_tpu.ops.attention import decode_attention
+from tts_max_tpu.ops.sampling import SamplingParams
+
+
+def _greedy_sp():
+    return SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                          frequency_penalty=0.0)
+
+
+def _rand_paged_case(seed, b=3, p=4, bs=16, hkv=2, n_rep=3, d=8,
+                     quantized=False):
+    """Random contiguous cache + equivalent shuffled block pool."""
+    rng = np.random.default_rng(seed)
+    hq = hkv * n_rep
+    max_len = p * bs
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, max_len, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, max_len, hkv, d)).astype(np.float32)
+    lengths = rng.integers(1, max_len + 1, (b,)).astype(np.int32)
+
+    # pool with a random block permutation (plus spare blocks)
+    n_blocks = b * p + 5
+    perm = rng.permutation(n_blocks)[: b * p].reshape(b, p).astype(np.int32)
+    k_pool = rng.standard_normal((n_blocks, bs, hkv, d)).astype(np.float32)
+    v_pool = rng.standard_normal((n_blocks, bs, hkv, d)).astype(np.float32)
+    for i in range(b):
+        for j in range(p):
+            k_pool[perm[i, j]] = k[i, j * bs : (j + 1) * bs]
+            v_pool[perm[i, j]] = v[i, j * bs : (j + 1) * bs]
+
+    if quantized:
+        def q8(x):
+            scale = np.abs(x).max(axis=-1, keepdims=True) / 127.0 + 1e-12
+            return {
+                "q": np.clip(np.round(x / scale), -127, 127).astype(np.int8),
+                "scale": scale[..., 0].astype(np.float32),
+            }
+
+        k, v, k_pool, v_pool = q8(k), q8(v), q8(k_pool), q8(v_pool)
+
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    return (to_j(q), to_j(k), to_j(v), to_j(k_pool), to_j(v_pool),
+            jnp.asarray(perm), jnp.asarray(lengths))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_xla_matches_contiguous(quantized):
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(
+        0, quantized=quantized
+    )
+    ref = decode_attention(q, k, v, lengths)
+    out = pattn.paged_decode_attention_xla(q, k_pool, v_pool, table, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_kernel_matches_xla(quantized):
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(
+        1, quantized=quantized
+    )
+    ref = pattn.paged_decode_attention_xla(q, k_pool, v_pool, table, lengths)
+    out = pattn.paged_decode_attention(
+        q, k_pool, v_pool, table, lengths, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_paged_kernel_ignores_garbage_blocks():
+    """Unallocated table entries (0) and beyond-length positions must not
+    leak into the output."""
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(2)
+    ref = pattn.paged_decode_attention(
+        q, k_pool, v_pool, table, lengths, interpret=True
+    )
+    # poison every block not referenced below each sequence's length
+    k_np = np.array(k_pool, copy=True)
+    v_np = np.array(v_pool, copy=True)
+    used = set()
+    bs = k_np.shape[1]
+    for i in range(table.shape[0]):
+        nb = -(-int(lengths[i]) // bs)
+        used.update(int(x) for x in np.asarray(table)[i, :nb])
+    for blk in range(k_np.shape[0]):
+        if blk not in used:
+            k_np[blk] = 1e4
+            v_np[blk] = -1e4
+    out = pattn.paged_decode_attention(
+        q, jnp.asarray(k_np), jnp.asarray(v_np), table, lengths,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_step_paged_matches_contiguous(quantized):
+    """Greedy decode through the paged step == contiguous step, with a
+    shuffled block table."""
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    b, bs, p = 2, 16, 4
+    max_len = bs * p
+    rng = np.random.default_rng(3)
+    prompt_lens = np.array([5, 9])
+    tokens = rng.integers(1, 60, (b, 16)).astype(np.int32)
+
+    cache = llama.init_kv_cache(cfg, b, max_len, quantized=quantized)
+    logits_c, cache = llama.prefill(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(prompt_lens), cache
+    )
+
+    pool = llama.init_paged_kv_cache(cfg, b * p + 3, bs, quantized=quantized)
+    table = np.asarray(
+        rng.permutation(b * p + 3)[: b * p].reshape(b, p), dtype=np.int32
+    )
+    # scatter each sequence's prefill region into its blocks
+    for i in range(b):
+        small_i = jax.tree.map(lambda x: x[:, i : i + 1, :16], cache)
+        pool = llama.scatter_prefill_to_blocks(
+            pool, small_i, jnp.asarray(table[i, : 16 // bs])
+        )
+    table_j = jnp.asarray(table)
+
+    lengths = jnp.asarray(prompt_lens, jnp.int32)
+    logits_p = logits_c
+    for step in range(6):
+        toks_c = jnp.argmax(logits_c, axis=-1).astype(jnp.int32)
+        toks_p = jnp.argmax(logits_p, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(toks_c), np.asarray(toks_p))
+        logits_c, cache = llama.decode_step(params, cfg, cache, toks_c, lengths)
+        logits_p, pool = llama.decode_step_paged(
+            params, cfg, pool, toks_p, lengths, table_j
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_p), np.asarray(logits_c), atol=2e-4
+        )
+        lengths = lengths + 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=256)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_paged_engine_matches_contiguous_engine(setup, quantized_kv):
+    cfg, params = setup
+    prompts = [
+        np.array([1, 2, 3], dtype=np.int32),
+        np.array(list(range(10, 80)), dtype=np.int32),  # crosses blocks
+        np.array([7], dtype=np.int32),
+    ]
+    ref_engine = InferenceEngine(
+        params, cfg, max_batch=4, max_len=128, sp=_greedy_sp(),
+        quantized_kv=quantized_kv,
+    )
+    ref = ref_engine.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+    paged = PagedInferenceEngine(
+        params, cfg, max_batch=4, max_len=128, block_size=32,
+        sp=_greedy_sp(), quantized_kv=quantized_kv,
+    )
+    got = paged.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r.tokens, g.tokens)
+
+
+def test_paged_engine_block_recycling(setup):
+    """A pool too small for all requests at once still completes them all
+    (FIFO admission waits for freed blocks), and the free list is restored."""
+    cfg, params = setup
+    engine = PagedInferenceEngine(
+        params, cfg, max_batch=4, max_len=128, block_size=32,
+        num_blocks=10,  # each request needs ceil(64/32)=2+ blocks
+        sp=_greedy_sp(),
+    )
+    prompts = [np.array([i + 1, i + 2, i + 3], dtype=np.int32) for i in range(7)]
+    done = engine.generate_all(prompts, max_new_tokens=5, eos_id=-1)
+    assert len(done) == 7
+    assert all(len(c.tokens) == 5 for c in done)
+    assert sorted(engine._free_blocks) == list(range(10))
+    # and the outputs match the contiguous engine
+    ref_engine = InferenceEngine(params, cfg, max_batch=4, max_len=128,
+                                 sp=_greedy_sp())
+    ref = ref_engine.generate_all(prompts, max_new_tokens=5, eos_id=-1)
+    for r, g in zip(ref, done):
+        np.testing.assert_array_equal(r.tokens, g.tokens)
+
+
+def test_paged_engine_mid_flight_admission(setup):
+    cfg, params = setup
+    engine = PagedInferenceEngine(
+        params, cfg, max_batch=2, max_len=128, block_size=32, sp=_greedy_sp()
+    )
+    p1 = np.array([4, 5, 6], dtype=np.int32)
+    p2 = np.array([8, 9], dtype=np.int32)
+    engine.submit(p1, max_new_tokens=10, eos_id=-1)
+    for _ in range(4):
+        engine.step()
+    engine.submit(p2, max_new_tokens=5, eos_id=-1)
+    done = {c.request_id: c for c in engine.run()}
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    [r1] = solo.generate_all([p1], max_new_tokens=10, eos_id=-1)
+    solo2 = InferenceEngine(params, cfg, max_batch=1, max_len=128, sp=_greedy_sp())
+    [r2] = solo2.generate_all([p2], max_new_tokens=5, eos_id=-1)
+    np.testing.assert_array_equal(done[0].tokens, r1.tokens)
+    np.testing.assert_array_equal(done[1].tokens, r2.tokens)

@@ -79,9 +79,7 @@ class InferenceEngine:
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
 
-        self.cache = llama.init_kv_cache(
-            cfg, max_batch, max_len, quantized=quantized_kv
-        )
+        self.cache = self._make_cache()
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.last_logits = jnp.zeros((max_batch, cfg.vocab_size), jnp.float32)
         self.active = jnp.zeros((max_batch,), dtype=bool)
@@ -148,6 +146,21 @@ class InferenceEngine:
 
     # --- internals ----------------------------------------------------------
 
+    def _make_cache(self):
+        return llama.init_kv_cache(
+            self.cfg, self.max_batch, self.max_len, quantized=self.quantized_kv
+        )
+
+    def _can_admit(self, req: Request) -> bool:
+        return True
+
+    def _release_slot(self, slot_idx: int) -> None:
+        pass
+
+    def _table_device(self):
+        """Block table for paged subclasses; None selects contiguous decode."""
+        return None
+
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_cache:
 
@@ -172,28 +185,37 @@ class InferenceEngine:
             self._prefill_cache[bucket] = jax.jit(fn)
         return self._prefill_cache[bucket]
 
+    def _prefill_slot(self, slot_idx: int, req: Request, padded, n: int,
+                      bucket: int):
+        logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
+            self.params,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.asarray([n], jnp.int32),
+            slot_idx,
+            self.token_counts,
+        )
+        return logits
+
     def _admit(self) -> None:
         for slot_idx, slot in enumerate(self._slots):
             if slot.request is not None or not self._queue:
                 continue
-            req = self._queue.popleft()
+            req = self._queue[0]
             n = len(req.prompt_tokens)
             if n + req.max_new_tokens > self.max_len:
+                self._queue.popleft()
                 raise ValueError(
                     f"request {req.request_id}: prompt {n} + budget "
                     f"{req.max_new_tokens} exceeds max_len {self.max_len}"
                 )
-            bucket = _bucket(n)
+            if not self._can_admit(req):
+                break  # FIFO: wait for resources rather than skip ahead
+            self._queue.popleft()
+            bucket = _bucket(n, self._bucket_step())
             padded = np.zeros((1, bucket), dtype=np.int32)
             padded[0, :n] = req.prompt_tokens
-            logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
-                self.params,
-                self.cache,
-                jnp.asarray(padded),
-                jnp.asarray([n], jnp.int32),
-                slot_idx,
-                self.token_counts,
-            )
+            logits = self._prefill_slot(slot_idx, req, padded, n, bucket)
             self.last_logits = self.last_logits.at[slot_idx].set(logits)
             self.lengths = self.lengths.at[slot_idx].set(n)
             self.active = self.active.at[slot_idx].set(True)
@@ -206,8 +228,11 @@ class InferenceEngine:
             slot.request = req
             slot.generated = []
 
+    def _bucket_step(self) -> int:
+        return 64
+
     def _decode_step(self, params, cache, last_logits, lengths, active,
-                     token_counts, gen_counts, rngs):
+                     token_counts, gen_counts, rngs, table=None):
         """One lockstep decode over the whole pool (masked inactive slots)."""
         b = self.max_batch
         keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
@@ -223,7 +248,14 @@ class InferenceEngine:
         idx = jnp.arange(b)
         token_counts = token_counts.at[idx, toks].add(inc)
         gen_counts = gen_counts.at[idx, toks].add(inc)
-        logits, cache = llama.decode_step(params, self.cfg, cache, toks, lengths)
+        if table is None:
+            logits, cache = llama.decode_step(
+                params, self.cfg, cache, toks, lengths
+            )
+        else:
+            logits, cache = llama.decode_step_paged(
+                params, self.cfg, cache, toks, lengths, table
+            )
         lengths = lengths + inc
         return toks, logits, cache, lengths, token_counts, gen_counts, rngs
 
@@ -232,6 +264,7 @@ class InferenceEngine:
          self.gen_counts, self.rngs) = self._decode(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
+            self._table_device(),
         )
         self.last_logits = logits
         toks_np = np.asarray(toks)
@@ -254,3 +287,121 @@ class InferenceEngine:
                 slot.request = None
                 slot.generated = []
                 self.active = self.active.at[i].set(False)
+                self._release_slot(i)
+
+
+class PagedInferenceEngine(InferenceEngine):
+    """Continuous batching over a block-pool KV cache (vLLM paging).
+
+    Instead of a contiguous ``max_len`` reservation per slot, KV lives in
+    ``num_blocks`` blocks of ``block_size`` tokens; each request reserves
+    only ``ceil((prompt + budget) / block_size)`` blocks at admission (so a
+    mid-flight request can never run out), and frees them the moment it
+    finishes. The same pool therefore admits far more mixed-length traffic
+    than ``max_batch × max_len`` sizing: the memory high-water mark follows
+    actual prompt+budget, not the worst case.
+
+    Decode attention reads KV straight through the block table (Pallas
+    kernel on TPU, gather fallback on CPU — ops/paged_attention.py).
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: llama.LlamaConfig,
+        *,
+        num_blocks: int | None = None,
+        block_size: int = 64,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        sp: SamplingParams = SamplingParams(),
+        pad_id: int = 0,
+        quantized_kv: bool = False,
+    ):
+        if max_len % block_size:
+            raise ValueError("max_len must be a multiple of block_size")
+        self.block_size = block_size
+        self.num_blocks = num_blocks or (max_batch * max_len) // block_size
+        self.table_width = max_len // block_size
+        self._free_blocks = list(range(self.num_blocks))
+        self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
+        # unallocated entries stay 0 (a valid id; attention masks by length)
+        self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
+        super().__init__(
+            params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
+            pad_id=pad_id, quantized_kv=quantized_kv,
+        )
+
+    def _make_cache(self):
+        return llama.init_paged_kv_cache(
+            self.cfg, self.num_blocks, self.block_size,
+            quantized=self.quantized_kv,
+        )
+
+    def _bucket_step(self) -> int:
+        # prompt buckets must tile exactly into blocks for the prefill scatter
+        step = 64
+        while step % self.block_size:
+            step += 64
+        return step
+
+    def _blocks_needed(self, req: Request) -> int:
+        total = len(req.prompt_tokens) + req.max_new_tokens
+        bucket = _bucket(len(req.prompt_tokens), self._bucket_step())
+        return (max(total, bucket) + self.block_size - 1) // self.block_size
+
+    def _can_admit(self, req: Request) -> bool:
+        return self._blocks_needed(req) <= len(self._free_blocks)
+
+    def _release_slot(self, slot_idx: int) -> None:
+        self._free_blocks.extend(self._slot_blocks[slot_idx])
+        self._slot_blocks[slot_idx] = []
+        self._table[slot_idx] = 0
+
+    def _table_device(self):
+        return jnp.asarray(self._table)
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_cache:
+
+            def fn(params, cache, tokens, length, block_ids, slot,
+                   token_counts):
+                small = llama.init_kv_cache(
+                    self.cfg, 1, bucket, quantized=self.quantized_kv
+                )
+                logits, small = llama.prefill(
+                    params, self.cfg, tokens, length, small
+                )
+                cache = llama.scatter_prefill_to_blocks(cache, small, block_ids)
+                mask = jnp.arange(bucket)[None, :] < length[:, None]
+                counts = sampling.counts_from_tokens(
+                    tokens, mask, self.cfg.vocab_size
+                )
+                token_counts = jax.lax.dynamic_update_slice(
+                    token_counts, counts, (slot, 0)
+                )
+                return logits[0], cache, token_counts
+
+            self._prefill_cache[bucket] = jax.jit(fn)
+        return self._prefill_cache[bucket]
+
+    def _prefill_slot(self, slot_idx: int, req: Request, padded, n: int,
+                      bucket: int):
+        need = self._blocks_needed(req)
+        blocks = [self._free_blocks.pop() for _ in range(need)]
+        self._slot_blocks[slot_idx] = blocks
+        self._table[slot_idx] = 0
+        self._table[slot_idx, : len(blocks)] = blocks
+        prefill_blocks = jnp.asarray(
+            blocks[: bucket // self.block_size], dtype=jnp.int32
+        )
+        logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
+            self.params,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.asarray([n], jnp.int32),
+            prefill_blocks,
+            slot_idx,
+            self.token_counts,
+        )
+        return logits

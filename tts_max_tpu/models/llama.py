@@ -301,6 +301,46 @@ def update_cache_slice(cache, small, layer0: int, slot, pos0: int):
     return jax.tree.map(leaf, cache, small)
 
 
+def init_paged_kv_cache(
+    cfg: LlamaConfig,
+    num_blocks: int,
+    block_size: int,
+    dtype=None,
+    *,
+    quantized: bool = False,
+):
+    """Block-pool KV cache for paged serving (vLLM-style): leaves
+    [L, num_blocks, block_size, Hkv, D]; sequences own ordered block-id lists
+    (the engine's block table) instead of contiguous max_len reservations."""
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layers, num_blocks, block_size, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        entry = {
+            "q": jnp.zeros(shape, jnp.int8),
+            "scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+        return {"k": entry, "v": dict(entry)}
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def paged_block_size(cache) -> int:
+    return (cache["k"]["q"] if cache_is_quantized(cache) else cache["k"]).shape[2]
+
+
+def scatter_prefill_to_blocks(pool, small, block_ids):
+    """Scatter a contiguous batch-1 prefill cache (leaves [L, 1, S, ...])
+    into pool blocks ``block_ids`` ([S // block_size] int32)."""
+
+    def leaf(big, little):
+        bs = big.shape[2]
+        lit = little[:, 0]  # [L, S, ...]
+        p = lit.shape[1] // bs
+        resh = lit.reshape(lit.shape[0], p, bs, *lit.shape[2:])
+        return big.at[:, block_ids].set(resh.astype(big.dtype))
+
+    return jax.tree.map(leaf, pool, small)
+
+
 def prefill(
     params: Params,
     cfg: LlamaConfig,
@@ -419,6 +459,108 @@ def decode_step(
         v_all = write(v_all, v)
         o = decode_attention(
             q, layer_slice(k_all), layer_slice(v_all), lengths + 1
+        ).astype(h.dtype)
+        h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
+        h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
+        return (h, k_all, v_all), None
+
+    (h, ks, vs), _ = jax.lax.scan(
+        layer_fn,
+        (h, cache["k"], cache["v"]),
+        (params["layers"], jnp.arange(cfg.n_layers)),
+    )
+    logits = _logits(h[:, None, :], params, cfg)[:, 0]
+    return logits, {"k": ks, "v": vs}
+
+
+def decode_step_paged(
+    params: Params,
+    cfg: LlamaConfig,
+    cache,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+    table: jnp.ndarray,
+    *,
+    use_pallas: bool | None = None,
+):
+    """One AR decode step against a paged (block-pool) cache.
+
+    Mirrors :func:`decode_step` but the new token's K/V rows are scattered
+    into ``table[b, lengths[b] // block_size]`` and attention reads KV
+    through the block table (ops/paged_attention.py). table: [B, P] int32
+    (unallocated entries must be valid ids, e.g. 0 — masked by lengths).
+    """
+    from tts_max_tpu.ops import paged_attention as pattn
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    attn_fn = (
+        pattn.paged_decode_attention if use_pallas
+        else pattn.paged_decode_attention_xla
+    )
+    b = tokens.shape[0]
+    bs = paged_block_size(cache)
+    max_pos = table.shape[1] * bs
+    cos, sin = rope_table(
+        cfg.head_dim, max_pos, cfg.rope_theta, cfg.use_llama3_rope_scaling
+    )
+    h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)  # [B, D]
+    pos_cos = jnp.take(cos, lengths, axis=0)[:, None, :]
+    pos_sin = jnp.take(sin, lengths, axis=0)[:, None, :]
+    blk = jnp.take_along_axis(table, (lengths // bs)[:, None], axis=1)[:, 0]
+    offs = lengths % bs
+
+    def rope1(x):
+        xf = x.astype(jnp.float32)
+        half = xf.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        out = jnp.concatenate(
+            [x1 * pos_cos - x2 * pos_sin, x2 * pos_cos + x1 * pos_sin], axis=-1
+        )
+        return out.astype(x.dtype)
+
+    def layer_fn(carry, scanned):
+        # full pool rides the carry (in-place scatter), as in decode_step
+        h, k_all, v_all = carry
+        lp, layer = scanned
+        x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
+        q = (matmul(x, lp["attn"]["wq"]["kernel"])).reshape(
+            b, cfg.n_heads, cfg.head_dim
+        )
+        k = (matmul(x, lp["attn"]["wk"]["kernel"])).reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        v = (matmul(x, lp["attn"]["wv"]["kernel"])).reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        q, k = rope1(q), rope1(k)
+
+        def write(cache_entry, x):
+            if isinstance(cache_entry, dict):
+                xq = _quantize_kv(x)
+                return {
+                    "q": cache_entry["q"].at[layer, blk, offs].set(xq["q"]),
+                    "scale": cache_entry["scale"]
+                    .at[layer, blk, offs]
+                    .set(xq["scale"]),
+                }
+            return cache_entry.at[layer, blk, offs].set(
+                x.astype(cache_entry.dtype)
+            )
+
+        def layer_slice(cache_entry):
+            take = lambda c: jax.lax.dynamic_index_in_dim(
+                c, layer, 0, keepdims=False
+            )
+            if isinstance(cache_entry, dict):
+                return {"q": take(cache_entry["q"]),
+                        "scale": take(cache_entry["scale"])}
+            return take(cache_entry)
+
+        k_all = write(k_all, k)
+        v_all = write(v_all, v)
+        o = attn_fn(
+            q, layer_slice(k_all), layer_slice(v_all), table, lengths + 1
         ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]

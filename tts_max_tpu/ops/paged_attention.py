@@ -1,0 +1,171 @@
+"""Paged decode attention over a block-pool KV cache (vLLM-style paging).
+
+The reference serves through vLLM, whose CUDA paged-attention kernel reads
+each sequence's KV through a block table so cache memory is allocated in
+fixed-size blocks instead of a contiguous max_len reservation per slot
+(reference inferencing.py:75-92). This is the TPU-native equivalent:
+
+- the cache is a pool ``[num_blocks, block_size, Hkv, D]`` per layer;
+- each sequence owns an ordered list of block ids (``table [B, P]``);
+- the Pallas kernel runs on grid ``(B, P)`` with the block table and lengths
+  scalar-prefetched, so the BlockSpec index map routes each grid step's DMA
+  straight to that sequence's j-th block — no gather materialization;
+- grid steps past a sequence's last valid block re-map to its last block:
+  consecutive identical indices skip the DMA (Pallas revisiting), so short
+  sequences don't stream the whole table width;
+- int8 KV pools (``{"q", "scale"}`` leaves, models/llama.py:240-255) are
+  dequantized inside the kernel — the int8 payload is what crosses HBM.
+
+``paged_decode_attention_xla`` is the gather-based XLA fallback (used on CPU
+and as the parity oracle in tests). Both accept identical arguments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _split(cache):
+    if isinstance(cache, dict):
+        return cache["q"], cache["scale"]
+    return cache, None
+
+
+def paged_decode_attention_xla(q, k_pool, v_pool, table, lengths):
+    """Gather-based reference path. q: [B, Hq, D]; k/v_pool:
+    [N, bs, Hkv, D] (or int8 dict with scale [N, bs, Hkv]); table: [B, P]
+    int32 block ids (unallocated entries must still be valid ids, e.g. 0);
+    lengths: [B] valid tokens (including the just-written one)."""
+    from tts_max_tpu.ops.attention import decode_attention
+
+    def gather(pool):
+        kq, scale = _split(pool)
+        b, p = table.shape
+        bs = kq.shape[1]
+        flat = jnp.take(kq, table, axis=0)  # [B, P, bs, Hkv, D]
+        flat = flat.reshape(b, p * bs, *kq.shape[2:])
+        if scale is None:
+            return flat
+        sflat = jnp.take(scale, table, axis=0).reshape(b, p * bs, scale.shape[-1])
+        return {"q": flat, "scale": sflat}
+
+    return decode_attention(q, gather(k_pool), gather(v_pool), lengths)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,
+    k_pool,
+    v_pool,
+    table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas paged decode attention. Same contract as the XLA fallback."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kq_pool, k_scale = _split(k_pool)
+    vq_pool, v_scale = _split(v_pool)
+    n_blocks, bs, hkv, d = kq_pool.shape
+    b, p = table.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    scale = d**-0.5
+    qg = q.reshape(b, hkv, n_rep, d)
+    quantized = k_scale is not None
+
+    def kernel(len_ref, tbl_ref, *refs):
+        if quantized:
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+            ks_ref = vs_ref = None
+        i, j = pl.program_id(0), pl.program_id(1)
+        length = len_ref[i]
+        base = j * bs
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(base < length)
+        def _block():
+            for h in range(hkv):  # static unroll over GQA groups
+                qb = q_ref[0, h].astype(jnp.float32) * scale  # [n_rep, D]
+                k = k_ref[0, :, h, :].astype(jnp.float32)  # [bs, D]
+                v = v_ref[0, :, h, :].astype(jnp.float32)
+                if quantized:
+                    k = k * ks_ref[0, :, h][:, None]
+                    v = v * vs_ref[0, :, h][:, None]
+                s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32)
+                k_pos = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (n_rep, bs), 1
+                )
+                s = jnp.where(k_pos < length, s, NEG_INF)
+                m_old = m_ref[h]  # [n_rep, 1]
+                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)
+                pexp = jnp.exp(s - m_new)
+                m_ref[h] = m_new
+                l_ref[h] = alpha * l_ref[h] + jnp.sum(pexp, axis=-1, keepdims=True)
+                acc_ref[h] = alpha * acc_ref[h] + jnp.dot(
+                    pexp, v, preferred_element_type=jnp.float32
+                )
+
+        @pl.when(j == p - 1)
+        def _finish():
+            o_ref[0] = (
+                acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+            ).astype(o_ref.dtype)
+
+    def block_map(i, j, len_ref, tbl_ref):
+        # past the last valid block, re-map to the last valid block: the
+        # repeated index makes Pallas skip the DMA (revisiting)
+        nb = jnp.maximum((len_ref[i] + bs - 1) // bs, 1)
+        jj = jnp.minimum(j, nb - 1)
+        return (tbl_ref[i, jj], 0, 0, 0)
+
+    def scale_map(i, j, len_ref, tbl_ref):
+        nb = jnp.maximum((len_ref[i] + bs - 1) // bs, 1)
+        jj = jnp.minimum(j, nb - 1)
+        return (tbl_ref[i, jj], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, n_rep, d), lambda i, j, *s: (i, 0, 0, 0)),
+        pl.BlockSpec((1, bs, hkv, d), block_map),
+    ]
+    inputs = [qg, kq_pool]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, bs, hkv), scale_map))
+        inputs.append(k_scale)
+    in_specs.append(pl.BlockSpec((1, bs, hkv, d), block_map))
+    inputs.append(vq_pool)
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, bs, hkv), scale_map))
+        inputs.append(v_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, p),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv, n_rep, d), lambda i, j, *s: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, n_rep, 1), jnp.float32),
+            pltpu.VMEM((hkv, n_rep, 1), jnp.float32),
+            pltpu.VMEM((hkv, n_rep, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), table.astype(jnp.int32), *inputs)
+    return out.reshape(b, hq, d)
