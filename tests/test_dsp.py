@@ -84,3 +84,22 @@ def test_mel_spectrogram_shapes():
     m = dsp.mel_spectrogram(x, 16000, 1024, 256, 80)
     assert m.shape == (1, 80, 1 + 16000 // 256)
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_activation1d_fused_matches_unfused():
+    """The single-fusion polyphase activation (filters.activation1d_fused)
+    must be numerically identical to up2x -> SnakeBeta -> down2x."""
+    from tts_max_tpu.models.codec import filters
+
+    rng = np.random.default_rng(0)
+    for T, C in [(1, 2), (2, 3), (7, 3), (64, 48), (333, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, T, C)), jnp.float32)
+        p = {
+            "alpha": jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.3,
+            "beta": jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.3,
+        }
+        ref = filters.activation1d(x, p, fused=False)
+        out = filters.activation1d_fused(x, p)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
+        )
