@@ -235,6 +235,71 @@ def make_embed_fn(params=None, cfg: ECAPAConfig | None = None,
     return embed
 
 
+def make_wavlm_embed_fn(
+    wavlm_params,
+    wavlm_cfg,
+    ecapa_params=None,
+    ecapa_cfg: ECAPAConfig | None = None,
+    feature_weight=None,
+    rng_seed: int = 0,
+):
+    """``embed_fn(audio [n]) -> [emb_dim]`` over WavLM hidden states — the
+    reference's default similarity path (ecapa_tdnn.py:220-258,344-360:
+    feat_type='wavlm_large', all hidden states combined with
+    softmax-learned layer weights, then ECAPA-TDNN).
+
+    ``feature_weight``: [num_layers+1] logits (zeros = uniform, the
+    reference's init; UniSpeech checkpoints carry trained values)."""
+    from tts_max_tpu.models import wavlm as wavlm_mod
+
+    ecapa_cfg = ecapa_cfg or ECAPAConfig(feat_dim=wavlm_cfg.hidden_size)
+    if ecapa_params is None:
+        ecapa_params = init_params(jax.random.PRNGKey(rng_seed), ecapa_cfg)
+    if feature_weight is None:
+        feature_weight = jnp.zeros((wavlm_cfg.num_layers + 1,), jnp.float32)
+    feature_weight = jnp.asarray(feature_weight, jnp.float32)
+
+    @jax.jit
+    def run(audio):
+        stack = wavlm_mod.encode(wavlm_params, wavlm_cfg, audio)  # [L+1,B,T,D]
+        w = jax.nn.softmax(feature_weight)
+        feats = jnp.einsum("l,lbtd->btd", w, stack.astype(jnp.float32))
+        return embed_features(ecapa_params, feats, ecapa_cfg)
+
+    def embed(audio: np.ndarray) -> np.ndarray:
+        return np.asarray(run(jnp.asarray(audio, jnp.float32)[None]))[0]
+
+    return embed
+
+
+def load_wavlm_similarity_embedder(
+    wavlm_dir: str, ecapa_checkpoint: str | None = None
+):
+    """Build the reference similarity backend from local files: an HF WavLM
+    dir (+ optionally a UniSpeech ECAPA_TDNN_SMALL torch checkpoint, which
+    also carries the trained ``feature_weight`` layer logits)."""
+    from tts_max_tpu.models import wavlm as wavlm_mod
+
+    wavlm_params, wavlm_cfg = wavlm_mod.load_wavlm(wavlm_dir)
+    ecapa_cfg = ECAPAConfig(feat_dim=wavlm_cfg.hidden_size)
+    ecapa_params = None
+    feature_weight = None
+    if ecapa_checkpoint:
+        import torch
+
+        sd = torch.load(ecapa_checkpoint, map_location="cpu", weights_only=True)
+        sd = sd.get("model", sd)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        ecapa_params = jax.tree.map(
+            jnp.asarray, import_torch_state_dict(sd, ecapa_cfg)
+        )
+        if "feature_weight" in sd:
+            feature_weight = np.asarray(sd["feature_weight"].float())
+    return make_wavlm_embed_fn(
+        wavlm_params, wavlm_cfg, ecapa_params, ecapa_cfg, feature_weight
+    )
+
+
 # --- torch checkpoint import ------------------------------------------------
 
 

@@ -94,6 +94,14 @@ def run_training(config: ExperimentConfig, args) -> None:
             primary if os.path.exists(primary) else None,
             p808 if os.path.exists(p808) else None,
         )
+    if getattr(args, "wavlm_dir", "") and os.path.isdir(args.wavlm_dir):
+        from tts_max_tpu.training.rlhf.ecapa import load_wavlm_similarity_embedder
+
+        backends["embed_fn"] = load_wavlm_similarity_embedder(
+            args.wavlm_dir, getattr(args, "ecapa_checkpoint", "") or None
+        )
+        log.info("Similarity reward backed by native JAX WavLM+ECAPA: %s",
+                 args.wavlm_dir)
         log.info("DNSMOS reward backed by onnx_lite: %s", args.dnsmos_dir)
 
     reward_funcs = create_reward_funcs(
@@ -162,6 +170,17 @@ def main(argv=None):
         "--dnsmos_dir",
         default=os.environ.get("DNSMOS_ONNX_DIR", ""),
         help="Dir with DNSMOS ONNX weights (sig_bak_ovr.onnx / model_v8.onnx).",
+    )
+    parser.add_argument(
+        "--wavlm_dir",
+        default=os.environ.get("WAVLM_CHECKPOINT", ""),
+        help="Local HF WavLM dir for the similarity reward (native JAX).",
+    )
+    parser.add_argument(
+        "--ecapa_checkpoint",
+        default=os.environ.get("ECAPA_CHECKPOINT", ""),
+        help="UniSpeech ECAPA_TDNN_SMALL torch checkpoint (with the trained "
+        "WavLM layer weights) for the similarity reward.",
     )
     parser.add_argument("--total_steps", type=int, default=100)
     args = parser.parse_args(argv)
