@@ -473,6 +473,100 @@ def decode_step(
     return logits, {"k": ks, "v": vs}
 
 
+def decode_window(
+    params: Params,
+    cfg: LlamaConfig,
+    cache,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+):
+    """Chunked decode: process a W-token window in ONE forward.
+
+    tokens: [B, W] at absolute positions lengths..lengths+W-1; their K/V are
+    written into the cache and each window position attends the cache up to
+    and including itself. Returns (logits [B, W, V] fp32, new cache).
+
+    This is the speculative-decode verify pass (and a chunked-prefill
+    primitive): weights and cache are read once per W tokens instead of once
+    per token — the entire win on a bandwidth-bound decode chip.
+    """
+    from tts_max_tpu.ops.attention import window_attention
+
+    b, w = tokens.shape
+    cos, sin = rope_table(
+        cfg.head_dim, cache_max_len(cache), cfg.rope_theta,
+        cfg.use_llama3_rope_scaling,
+    )
+    h = embed_lookup(params["embed"]["embedding"], tokens, cfg.dtype)  # [B,W,D]
+    pos = lengths[:, None] + jnp.arange(w)[None, :]  # [B, W]
+    pos_cos = jnp.take(cos, pos, axis=0)[:, :, None, :]  # [B, W, 1, hd/2]
+    pos_sin = jnp.take(sin, pos, axis=0)[:, :, None, :]
+    batch_rows = jnp.arange(b)[:, None]
+
+    def rope_w(x):  # x: [B, W, H, D]
+        xf = x.astype(jnp.float32)
+        half = xf.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        out = jnp.concatenate(
+            [x1 * pos_cos - x2 * pos_sin, x2 * pos_cos + x1 * pos_sin], axis=-1
+        )
+        return out.astype(x.dtype)
+
+    def layer_fn(carry, scanned):
+        h, k_all, v_all = carry
+        lp, layer = scanned
+        x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
+        q = matmul(x, lp["attn"]["wq"]["kernel"]).reshape(
+            b, w, cfg.n_heads, cfg.head_dim
+        )
+        k = matmul(x, lp["attn"]["wk"]["kernel"]).reshape(
+            b, w, cfg.n_kv_heads, cfg.head_dim
+        )
+        v = matmul(x, lp["attn"]["wv"]["kernel"]).reshape(
+            b, w, cfg.n_kv_heads, cfg.head_dim
+        )
+        q, k = rope_w(q), rope_w(k)
+
+        def write(cache_entry, x):
+            if isinstance(cache_entry, dict):
+                xq = _quantize_kv(x)
+                return {
+                    "q": cache_entry["q"].at[layer, batch_rows, pos].set(xq["q"]),
+                    "scale": cache_entry["scale"]
+                    .at[layer, batch_rows, pos]
+                    .set(xq["scale"]),
+                }
+            return cache_entry.at[layer, batch_rows, pos].set(
+                x.astype(cache_entry.dtype)
+            )
+
+        def layer_slice(cache_entry):
+            take = lambda c: jax.lax.dynamic_index_in_dim(
+                c, layer, 0, keepdims=False
+            )
+            if isinstance(cache_entry, dict):
+                return {"q": take(cache_entry["q"]),
+                        "scale": take(cache_entry["scale"])}
+            return take(cache_entry)
+
+        k_all = write(k_all, k)
+        v_all = write(v_all, v)
+        o = window_attention(
+            q, layer_slice(k_all), layer_slice(v_all), lengths
+        ).astype(h.dtype)
+        h = h + matmul(o.reshape(b, w, cfg.q_dim), lp["attn"]["wo"]["kernel"])
+        h = _mlp_block(h, lp, cfg)
+        return (h, k_all, v_all), None
+
+    (h, ks, vs), _ = jax.lax.scan(
+        layer_fn,
+        (h, cache["k"], cache["v"]),
+        (params["layers"], jnp.arange(cfg.n_layers)),
+    )
+    logits = _logits(h, params, cfg)
+    return logits, {"k": ks, "v": vs}
+
+
 def decode_step_paged(
     params: Params,
     cfg: LlamaConfig,

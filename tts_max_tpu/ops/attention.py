@@ -174,3 +174,48 @@ def decode_attention(
     probs = probs.astype(q.dtype)
     out = jnp.einsum("bgrk,bkgd->bgrd", probs, vq.astype(q.dtype))
     return out.reshape(b, hq, d)
+
+
+def window_attention(
+    q: jnp.ndarray,
+    k_cache,
+    v_cache,
+    lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """W-token window attention against a padded KV cache (chunked decode).
+
+    Scores a short window of new tokens (speculative-decode verify pass or
+    chunked prefill) in ONE pass over the cache — the cache and weights are
+    read once per W tokens instead of once per token, which is the whole
+    speedup of speculative decoding on a bandwidth-bound chip.
+
+    q: [B, W, Hq, D] — queries for the window (window position i sits at
+    absolute position lengths[b] + i, and its K/V must already be written to
+    the cache at that row). k_cache/v_cache: [B, max_len, Hkv, D] or the
+    int8 dict form (decode_attention docstring). lengths: [B] valid cache
+    entries BEFORE the window. Returns [B, W, Hq, D].
+    """
+    k_quant = isinstance(k_cache, dict)
+    v_quant = isinstance(v_cache, dict)
+    kq = k_cache["q"] if k_quant else k_cache
+    vq = v_cache["q"] if v_quant else v_cache
+    b, max_len, hkv, d = kq.shape
+    w, hq = q.shape[1], q.shape[2]
+    n_rep = hq // hkv
+    scale = d**-0.5
+    qg = q.reshape(b, w, hkv, n_rep, d)
+    logits = jnp.einsum(
+        "bwgrd,bkgd->bgrwk", qg, kq.astype(q.dtype)
+    ).astype(jnp.float32) * scale
+    if k_quant:
+        logits = logits * jnp.moveaxis(k_cache["scale"], 1, 2)[:, :, None, None, :]
+    # query at window offset i may attend cache rows <= lengths + i
+    pos = jnp.arange(max_len)[None, None, None, None, :]
+    limit = (lengths[:, None] + jnp.arange(w)[None, :])[:, None, None, :, None]
+    logits = jnp.where(pos <= limit, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_quant:
+        probs = probs * jnp.moveaxis(v_cache["scale"], 1, 2)[:, :, None, None, :]
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bgrwk,bkgd->bwgrd", probs, vq.astype(q.dtype))
+    return out.reshape(b, w, hq, d)

@@ -100,6 +100,28 @@ def top_p_mask(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, -jnp.inf, logits)
 
 
+def adjusted_logits(
+    logits: jnp.ndarray,
+    params: SamplingParams,
+    token_counts: jnp.ndarray | None = None,
+    gen_counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Penalty/temperature/top-k/top-p-adjusted fp32 logits, ready for
+    ``jax.random.categorical`` (greedy callers argmax them instead)."""
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_repetition_penalty(
+            logits, token_counts, params.repetition_penalty
+        )
+    if gen_counts is not None:
+        logits = apply_frequency_penalty(logits, gen_counts, params.frequency_penalty)
+    if params.temperature <= 0.0:
+        return logits
+    logits = logits / params.temperature
+    logits = top_k_mask(logits, params.top_k)
+    return top_p_mask(logits, params.top_p)
+
+
 def sample_token(
     rng: jax.Array,
     logits: jnp.ndarray,
@@ -112,19 +134,27 @@ def sample_token(
     ``token_counts``: counts over prompt+generation (repetition penalty).
     ``gen_counts``: counts over generation only (frequency penalty).
     """
-    logits = logits.astype(jnp.float32)
-    if token_counts is not None:
-        logits = apply_repetition_penalty(
-            logits, token_counts, params.repetition_penalty
-        )
-    if gen_counts is not None:
-        logits = apply_frequency_penalty(logits, gen_counts, params.frequency_penalty)
+    logits = adjusted_logits(logits, params, token_counts, gen_counts)
     if params.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
-    logits = logits / params.temperature
-    logits = top_k_mask(logits, params.top_k)
-    logits = top_p_mask(logits, params.top_p)
     return jax.random.categorical(rng, logits, axis=-1)
+
+
+def sampling_distribution(
+    logits: jnp.ndarray,
+    params: SamplingParams,
+    token_counts: jnp.ndarray | None = None,
+    gen_counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """The exact [B, V] probability distribution ``sample_token`` draws from
+    (one-hot argmax when temperature <= 0) — the p/q of speculative
+    decoding's accept/reject arithmetic."""
+    al = adjusted_logits(logits, params, token_counts, gen_counts)
+    if params.temperature <= 0.0:
+        return jax.nn.one_hot(
+            jnp.argmax(al, axis=-1), al.shape[-1], dtype=jnp.float32
+        )
+    return jax.nn.softmax(al, axis=-1)
 
 
 def update_counts(counts: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
