@@ -70,9 +70,14 @@ def main():
     sp = sampling.SamplingParams(
         temperature=0.8, top_k=50, repetition_penalty=1.1, frequency_penalty=0.3
     )
+    # Speech-window-constrained decode (the production TTS serving config,
+    # synthesize.py constrain_to_speech): logits over the 65544-row speech
+    # window instead of all 193856 rows — ~3x smaller LM-head + penalty
+    # buffer HBM read per step (+21% measured, BENCHMARKS.md).
+    speech_window = (128264, 65544)
     gen = make_generate_fn(
         cfg, sp, max_new_tokens=decode_steps, eos_id=-1,
-        cache_len=prompt_len + decode_steps,
+        cache_len=prompt_len + decode_steps, vocab_window=speech_window,
     )
 
     rtt = _fetch_rtt()
@@ -98,7 +103,7 @@ def main():
             {
                 "metric": "speechlm_decode_tokens_per_s_per_chip",
                 "value": round(best, 2),
-                "unit": f"tokens/s/chip (llama-1b int8 weights, batch {batch}, jitted KV decode)",
+                "unit": f"tokens/s/chip (llama-1b int8 weights, batch {batch}, jitted KV decode, speech-window constrained)",
                 "vs_baseline": round(best / CODEC_TOKEN_RATE, 2),
             }
         )

@@ -123,3 +123,38 @@ def test_engine_with_int8_params(setup):
     done = engine.generate_all(prompts, max_new_tokens=5, eos_id=-1)
     assert len(done) == 2
     assert all(len(c.tokens) == 5 for c in done)
+
+
+def test_engine_vocab_window(setup):
+    """Windowed engines: full-vocab window reproduces the unconstrained
+    engine; a narrow window constrains every emitted id, for the paged
+    engine too."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    prompts = [
+        np.array([5, 9, 42, 7, 3], dtype=np.int32),
+        np.array([30, 31], dtype=np.int32),
+    ]
+    ref = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                          sp=_greedy_sp())
+    ref_out = ref.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+
+    ident = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                            sp=_greedy_sp(), vocab_window=(0, cfg.vocab_size))
+    ident_out = ident.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+    for a, b in zip(ref_out, ident_out):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+    lo, size = 24, 16
+    for eng_cls, kw in (
+        (InferenceEngine, {}),
+        (PagedInferenceEngine, {"block_size": 64}),
+    ):
+        eng = eng_cls(params, cfg, max_batch=2, max_len=128,
+                      sp=SamplingParams(temperature=0.9, top_k=8),
+                      vocab_window=(lo, size), **kw)
+        for comp in eng.generate_all(prompts, max_new_tokens=8, eos_id=-1,
+                                     seed=3):
+            toks = np.asarray(comp.tokens)
+            assert ((toks >= lo) & (toks < lo + size)).all(), toks

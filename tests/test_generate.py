@@ -151,6 +151,78 @@ def test_generate_staged_eos_early_exit(tiny):
     assert int(res.steps) <= 2
 
 
+def test_vocab_window_full_vocab_is_identity(tiny):
+    """A window covering the whole vocab must reproduce unconstrained
+    generation exactly (sampling RNG, penalties, EOS — everything)."""
+    cfg, params = tiny
+    toks, lens = _prompt(2, 8, cfg, seed=7)
+    sp = sampling.SamplingParams(temperature=0.9, top_k=20)
+    ref = generate(params, cfg, toks, lens, jax.random.PRNGKey(3), sp=sp,
+                   max_new_tokens=12, eos_id=1)
+    win = generate(params, cfg, toks, lens, jax.random.PRNGKey(3), sp=sp,
+                   max_new_tokens=12, eos_id=1,
+                   vocab_window=(0, cfg.vocab_size))
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(win.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(win.num_generated))
+
+
+def test_vocab_window_constrains_and_remaps(tiny):
+    """With a window, every emitted token lies in [lo, lo+size) (or pad),
+    for int8-quantized params too, and EOS inside the window still exits."""
+    from tts_max_tpu.models.quantization import quantize_llama_params
+
+    cfg, params = tiny
+    toks, lens = _prompt(2, 6, cfg, seed=8)
+    lo, size = 24, 16
+    sp = sampling.SamplingParams(temperature=1.0, top_k=0,
+                                 repetition_penalty=1.2, frequency_penalty=0.5)
+    for p in (params, quantize_llama_params(params)):
+        res = generate(p, cfg, toks, lens, jax.random.PRNGKey(4), sp=sp,
+                       max_new_tokens=10, eos_id=lo + 3, pad_id=0,
+                       vocab_window=(lo, size))
+        out = np.asarray(res.tokens)
+        n = np.asarray(res.num_generated)
+        for b in range(2):
+            real = out[b, : n[b]]
+            assert ((real >= lo) & (real < lo + size)).all(), real
+            assert (out[b, n[b]:] == 0).all()
+
+
+def test_vocab_window_matches_masked_full_greedy(tiny):
+    """Greedy windowed decode == greedy full decode with out-of-window
+    logits masked to -inf (the constraint's defining property)."""
+    cfg, params = tiny
+    toks, lens = _prompt(1, 5, cfg, seed=9)
+    lo, size = 16, 24
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    res = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                   max_new_tokens=6, eos_id=-1, vocab_window=(lo, size))
+    seq = np.asarray(toks[0]).tolist()
+    for _ in range(6):
+        logits = np.asarray(llama.forward(params, cfg, jnp.asarray([seq]))[0, -1])
+        masked = np.full_like(logits, -np.inf)
+        masked[lo : lo + size] = logits[lo : lo + size]
+        seq.append(int(np.argmax(masked)))
+    np.testing.assert_array_equal(np.asarray(res.tokens[0]), seq[5:])
+
+
+def test_generation_window_layout():
+    """SpeechVocab.generation_window: speech tokens contiguous, markers
+    (incl. speech_end) inside the window."""
+    from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
+
+    tok = build_byte_tokenizer(codebook_size=32)
+    sv = speech_vocab(tok, codebook_size=32)
+    lo, size = sv.generation_window()
+    assert lo == int(sv.speech_to_token.min())
+    assert lo <= sv.speech_end_id < lo + size
+    assert lo <= sv.speech_start_id < lo + size
+    assert (sv.speech_to_token >= lo).all()
+    assert (sv.speech_to_token < lo + size).all()
+
+
 def test_host_staged_generate_matches(tiny):
     """Per-stage dispatch produces the same tokens as the monolithic
     staged program."""

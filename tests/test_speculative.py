@@ -196,3 +196,45 @@ def test_sampling_mode_first_token_distribution(models):
     # two empirical distributions from n=400 draws over a ~64-way support:
     # TV between them concentrates well under 0.25
     assert tv < 0.25, tv
+
+
+def test_spec_decode_vocab_window(models):
+    """Full-vocab window == unconstrained (greedy, exact); a narrow window
+    keeps every emitted token inside it (sampling mode)."""
+    cfg, target, draft = models
+    toks = jnp.asarray([[5, 9, 42, 7, 3, 11]], dtype=jnp.int32)
+    lens = jnp.asarray([6], jnp.int32)
+    sp = _greedy_sp()
+    ref = speculative_generate(
+        target, cfg, draft, cfg, toks, lens, jax.random.PRNGKey(0),
+        sp=sp, max_new_tokens=12, eos_id=-1, gamma=3,
+    )
+    win = speculative_generate(
+        target, cfg, draft, cfg, toks, lens, jax.random.PRNGKey(0),
+        sp=sp, max_new_tokens=12, eos_id=-1, gamma=3,
+        vocab_window=(0, cfg.vocab_size),
+    )
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(win.tokens))
+
+    lo, size = 24, 16
+    res = speculative_generate(
+        target, cfg, draft, cfg, toks, lens, jax.random.PRNGKey(2),
+        sp=SamplingParams(temperature=0.9, top_k=8, repetition_penalty=1.2,
+                          frequency_penalty=0.4),
+        max_new_tokens=12, eos_id=lo + 5, gamma=3, vocab_window=(lo, size),
+    )
+    out = np.asarray(res.tokens[0])[: int(res.num_generated[0])]
+    assert ((out >= lo) & (out < lo + size)).all(), out
+
+    # and the windowed greedy run must equal windowed plain generate
+    wref = generate(
+        target, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+        max_new_tokens=12, eos_id=-1, vocab_window=(lo, size),
+    )
+    wspec = speculative_generate(
+        target, cfg, target, cfg, toks, lens, jax.random.PRNGKey(0),
+        sp=sp, max_new_tokens=12, eos_id=-1, gamma=3,
+        vocab_window=(lo, size),
+    )
+    np.testing.assert_array_equal(np.asarray(wref.tokens),
+                                  np.asarray(wspec.tokens))

@@ -55,6 +55,32 @@ class SpeechVocab:
     def tokens_from_codes(self, codes: np.ndarray) -> np.ndarray:
         return self.speech_to_token[codes]
 
+    def generation_window(self) -> tuple[int, int]:
+        """(lo, size) of the contiguous token-id window containing every
+        speech token and the structural markers SpeechVocab tracks
+        (``<|speech_end|>`` in particular — the generation EOS).
+
+        Because the reference adds ``sorted(specials + speech_tokens)``
+        (tokenization.py:36-61) and every "<|s_N|>" sorts before every
+        special ("_" < lowercase letters at the 4th char), the 65536 speech
+        tokens occupy one contiguous id block immediately followed by the 8
+        specials. Constrained ("speech-grammar") decode computes logits only
+        over this window — a ~3x smaller LM-head read on the
+        bandwidth-bound decode step (inference/generate.py vocab_window).
+        """
+        lo = int(self.speech_to_token.min())
+        hi = int(self.speech_to_token.max())
+        if hi - lo + 1 != len(self.speech_to_token):
+            raise ValueError("speech token ids are not contiguous")
+        for sid in (
+            self.speech_start_id,
+            self.speech_end_id,
+            self.text_prompt_start_id,
+            self.text_prompt_end_id,
+        ):
+            hi = max(hi, sid)
+        return lo, hi - lo + 1
+
     def codes_from_tokens(self, tokens: np.ndarray) -> np.ndarray:
         """Keep only speech tokens, mapped back to codec codes."""
         mapped = self.token_to_speech[tokens]

@@ -70,6 +70,7 @@ class InferenceEngine:
         sp: SamplingParams = SamplingParams(),
         pad_id: int = 0,
         quantized_kv: bool = False,
+        vocab_window: tuple[int, int] | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -78,13 +79,18 @@ class InferenceEngine:
         self.sp = sp
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
+        # Constrain sampling to a contiguous vocab window (lo, size) —
+        # SpeechVocab.generation_window() for TTS serving. Logits / penalty
+        # buffers shrink to window size; emitted ids stay global.
+        self.vocab_window = vocab_window
+        logits_width = vocab_window[1] if vocab_window else cfg.vocab_size
 
         self.cache = self._make_cache()
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
-        self.last_logits = jnp.zeros((max_batch, cfg.vocab_size), jnp.float32)
+        self.last_logits = jnp.zeros((max_batch, logits_width), jnp.float32)
         self.active = jnp.zeros((max_batch,), dtype=bool)
-        self.token_counts = jnp.zeros((max_batch, cfg.vocab_size), jnp.int32)
-        self.gen_counts = jnp.zeros((max_batch, cfg.vocab_size), jnp.int32)
+        self.token_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
+        self.gen_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
         self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
         self.budgets = jnp.zeros((max_batch,), jnp.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
@@ -170,13 +176,12 @@ class InferenceEngine:
                     self.cfg, 1, bucket, quantized=self.quantized_kv
                 )
                 logits, small = llama.prefill(
-                    params, self.cfg, tokens, length, small
+                    params, self.cfg, tokens, length, small,
+                    logits_head=self._logits_head(params),
                 )
                 cache = llama.update_cache_slice(cache, small, 0, slot, 0)
                 mask = jnp.arange(bucket)[None, :] < length[:, None]
-                counts = sampling.counts_from_tokens(
-                    tokens, mask, self.cfg.vocab_size
-                )
+                counts = self._prompt_counts(tokens, mask)
                 token_counts = jax.lax.dynamic_update_slice(
                     token_counts, counts, (slot, 0)
                 )
@@ -231,30 +236,47 @@ class InferenceEngine:
     def _bucket_step(self) -> int:
         return 64
 
+    def _logits_head(self, params):
+        if self.vocab_window is None:
+            return None
+        return llama.slice_logits_head(params, self.cfg, *self.vocab_window)
+
+    def _prompt_counts(self, tokens, mask):
+        if self.vocab_window is not None:
+            return sampling.counts_from_tokens_windowed(
+                tokens, mask, self.vocab_window
+            )
+        return sampling.counts_from_tokens(tokens, mask, self.cfg.vocab_size)
+
     def _decode_step(self, params, cache, last_logits, lengths, active,
                      token_counts, gen_counts, rngs, table=None):
         """One lockstep decode over the whole pool (masked inactive slots)."""
         b = self.max_batch
+        lo = self.vocab_window[0] if self.vocab_window else 0
         keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
         rngs, sample_keys = keys[:, 0], keys[:, 1]
-        # per-slot sampling with a shared key batch
-        toks = jax.vmap(
+        # per-slot sampling with a shared key batch (window space under a
+        # vocab_window; emitted ids are global)
+        toks_w = jax.vmap(
             lambda k, lg, tc, gc: sampling.sample_token(
                 k, lg[None], self.sp, tc[None], gc[None]
             )[0]
         )(sample_keys, last_logits, token_counts, gen_counts)
-        toks = jnp.where(active, toks, self.pad_id).astype(jnp.int32)
+        toks = jnp.where(active, toks_w + lo, self.pad_id).astype(jnp.int32)
         inc = active.astype(jnp.int32)
         idx = jnp.arange(b)
-        token_counts = token_counts.at[idx, toks].add(inc)
-        gen_counts = gen_counts.at[idx, toks].add(inc)
+        cidx = jnp.where(active, toks_w, 0)  # in-range; inc=0 when inactive
+        token_counts = token_counts.at[idx, cidx].add(inc)
+        gen_counts = gen_counts.at[idx, cidx].add(inc)
+        head = self._logits_head(params)
         if table is None:
             logits, cache = llama.decode_step(
-                params, self.cfg, cache, toks, lengths
+                params, self.cfg, cache, toks, lengths, logits_head=head
             )
         else:
             logits, cache = llama.decode_step_paged(
-                params, self.cfg, cache, toks, lengths, table
+                params, self.cfg, cache, toks, lengths, table,
+                logits_head=head,
             )
         lengths = lengths + inc
         return toks, logits, cache, lengths, token_counts, gen_counts, rngs
@@ -317,6 +339,7 @@ class PagedInferenceEngine(InferenceEngine):
         sp: SamplingParams = SamplingParams(),
         pad_id: int = 0,
         quantized_kv: bool = False,
+        vocab_window: tuple[int, int] | None = None,
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -330,6 +353,7 @@ class PagedInferenceEngine(InferenceEngine):
         super().__init__(
             params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
             pad_id=pad_id, quantized_kv=quantized_kv,
+            vocab_window=vocab_window,
         )
 
     def _make_cache(self):
@@ -370,13 +394,12 @@ class PagedInferenceEngine(InferenceEngine):
                     self.cfg, 1, bucket, quantized=self.quantized_kv
                 )
                 logits, small = llama.prefill(
-                    params, self.cfg, tokens, length, small
+                    params, self.cfg, tokens, length, small,
+                    logits_head=self._logits_head(params),
                 )
                 cache = llama.scatter_prefill_to_blocks(cache, small, block_ids)
                 mask = jnp.arange(bucket)[None, :] < length[:, None]
-                counts = sampling.counts_from_tokens(
-                    tokens, mask, self.cfg.vocab_size
-                )
+                counts = self._prompt_counts(tokens, mask)
                 token_counts = jax.lax.dynamic_update_slice(
                     token_counts, counts, (slot, 0)
                 )

@@ -48,15 +48,31 @@ def _stage_sizes(s: int, cache_len: int, staged: bool) -> list[int]:
 
 
 def _init_state(params, cfg, prompt_tokens, prompt_lengths, rng, *,
-                max_new_tokens, pad_id, first_size, quantized_kv):
-    """Prefill into a first-stage cache and build the decode-loop state."""
+                max_new_tokens, pad_id, first_size, quantized_kv,
+                vocab_window=None):
+    """Prefill into a first-stage cache and build the decode-loop state.
+
+    With ``vocab_window=(lo, size)`` the logits and penalty-count buffers
+    live in window space [B, size] (tokens stored in ``out`` stay global).
+    """
     b, s = prompt_tokens.shape
-    cache = llama.init_kv_cache(cfg, b, first_size, quantized=quantized_kv)
-    logits, cache = llama.prefill(params, cfg, prompt_tokens, prompt_lengths, cache)
-    prompt_mask = jnp.arange(s)[None, :] < prompt_lengths[:, None]
-    token_counts = sampling.counts_from_tokens(
-        prompt_tokens, prompt_mask, cfg.vocab_size
+    head = (
+        llama.slice_logits_head(params, cfg, *vocab_window)
+        if vocab_window else None
     )
+    cache = llama.init_kv_cache(cfg, b, first_size, quantized=quantized_kv)
+    logits, cache = llama.prefill(
+        params, cfg, prompt_tokens, prompt_lengths, cache, logits_head=head
+    )
+    prompt_mask = jnp.arange(s)[None, :] < prompt_lengths[:, None]
+    if vocab_window:
+        token_counts = sampling.counts_from_tokens_windowed(
+            prompt_tokens, prompt_mask, vocab_window
+        )
+    else:
+        token_counts = sampling.counts_from_tokens(
+            prompt_tokens, prompt_mask, cfg.vocab_size
+        )
     return (
         jnp.zeros((), jnp.int32),  # i
         cache,
@@ -71,19 +87,30 @@ def _init_state(params, cfg, prompt_tokens, prompt_lengths, rng, *,
     )
 
 
-def _make_body(params, cfg, sp, eos_id, pad_id, b):
+def _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window=None):
+    lo = vocab_window[0] if vocab_window else 0
+    head = (
+        llama.slice_logits_head(params, cfg, *vocab_window)
+        if vocab_window else None
+    )
+
     def body(state):
         i, cache, logits, lengths, rng, token_counts, gen_counts, done, out, n_gen = state
         rng, k = jax.random.split(rng)
-        tok = sampling.sample_token(k, logits, sp, token_counts, gen_counts)
-        tok = jnp.where(done, pad_id, tok).astype(jnp.int32)
+        # sampling (and the count buffers) run in window space; emitted ids
+        # are global (window id + lo)
+        tok_w = sampling.sample_token(k, logits, sp, token_counts, gen_counts)
+        tok = jnp.where(done, pad_id, tok_w + lo).astype(jnp.int32)
         newly_done = tok == eos_id
         out = out.at[:, i].set(jnp.where(done, pad_id, tok))
         n_gen = n_gen + (~done).astype(jnp.int32)
         inc = (~done).astype(jnp.int32)
-        token_counts = token_counts.at[jnp.arange(b), tok].add(inc)
-        gen_counts = gen_counts.at[jnp.arange(b), tok].add(inc)
-        logits, cache = llama.decode_step(params, cfg, cache, tok, lengths)
+        idx = jnp.where(done, 0, tok_w)  # in-range scatter index; inc=0 when done
+        token_counts = token_counts.at[jnp.arange(b), idx].add(inc)
+        gen_counts = gen_counts.at[jnp.arange(b), idx].add(inc)
+        logits, cache = llama.decode_step(
+            params, cfg, cache, tok, lengths, logits_head=head
+        )
         lengths = lengths + inc
         done = done | newly_done
         return (i + 1, cache, logits, lengths, rng, token_counts, gen_counts,
@@ -100,7 +127,8 @@ def _make_cond(limit):
     return cond
 
 
-def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit):
+def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
+               vocab_window=None):
     """Grow the cache to ``size`` and decode until step ``limit`` (or EOS).
 
     A stage's decode_step writes at index <= s-1 + i, so the i bound for a
@@ -109,7 +137,7 @@ def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit):
     """
     b = state[3].shape[0]
     state = (state[0], llama.grow_cache(state[1], size)) + state[2:]
-    body = _make_body(params, cfg, sp, eos_id, pad_id, b)
+    body = _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window)
     return jax.lax.while_loop(_make_cond(limit), body, state)
 
 
@@ -127,8 +155,17 @@ def generate(
     cache_len: int | None = None,
     quantized_kv: bool = False,
     staged: bool = False,
+    vocab_window: tuple[int, int] | None = None,
 ) -> GenerateResult:
     """prompt_tokens: right-padded [B, S]; returns generated tokens only.
+
+    ``vocab_window=(lo, size)`` constrains generation to the contiguous
+    token-id window [lo, lo+size): logits are computed only over those
+    output-head rows and sampling/penalties run in window space (emitted ids
+    stay global). For TTS this is SpeechVocab.generation_window() — a
+    speech-grammar guarantee AND a ~3x cut of the per-step LM-head +
+    penalty-buffer HBM read at the 193856 vocab. ``eos_id`` must lie inside
+    the window (or be unreachable, e.g. -1).
 
     The full loop (prefill + decode) traces into a single XLA program; wrap
     in jax.jit (static: cfg, sp, max_new_tokens, eos_id, pad_id, cache_len).
@@ -149,25 +186,26 @@ def generate(
     state = _init_state(
         params, cfg, prompt_tokens, prompt_lengths, rng,
         max_new_tokens=max_new_tokens, pad_id=pad_id, first_size=sizes[0],
-        quantized_kv=quantized_kv,
+        quantized_kv=quantized_kv, vocab_window=vocab_window,
     )
     for size in sizes:
         state = _run_stage(
             params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
             size=size, limit=min(max_new_tokens, size - s),
+            vocab_window=vocab_window,
         )
     (steps, _, _, _, _, _, _, _, out, n_gen) = state
     return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
 
 
 def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
-                     quantized_kv=False, staged=False):
+                     quantized_kv=False, staged=False, vocab_window=None):
     def fn(params, prompt_tokens, prompt_lengths, rng):
         return generate(
             params, cfg, prompt_tokens, prompt_lengths, rng,
             sp=sp, max_new_tokens=max_new_tokens, eos_id=eos_id,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
-            staged=staged,
+            staged=staged, vocab_window=vocab_window,
         )
 
     return jax.jit(fn)
@@ -175,7 +213,8 @@ def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
 
 def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                                  cache_len=None, quantized_kv=False,
-                                 max_steps_per_dispatch=512):
+                                 max_steps_per_dispatch=512,
+                                 vocab_window=None):
     """Staged generation with one jitted program per cache size.
 
     Numerically identical to ``make_generate_fn(..., staged=True)`` but
@@ -193,6 +232,7 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
         functools.partial(
             _wrapped_init, cfg=cfg, max_new_tokens=max_new_tokens,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
+            vocab_window=vocab_window,
         )
     )
     grow_jits: dict[int, callable] = {}
@@ -217,7 +257,7 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                 stage_jits[size] = jax.jit(
                     functools.partial(
                         _run_stage, cfg=cfg, sp=sp, eos_id=eos_id,
-                        pad_id=pad_id, size=size,
+                        pad_id=pad_id, size=size, vocab_window=vocab_window,
                     ),
                     donate_argnums=(1,),  # consume the input state in place
                 )
@@ -239,11 +279,13 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
 
 
 def _wrapped_init(params, prompt_tokens, prompt_lengths, rng, *, cfg,
-                  max_new_tokens, pad_id, cache_len, quantized_kv):
+                  max_new_tokens, pad_id, cache_len, quantized_kv,
+                  vocab_window=None):
     s = prompt_tokens.shape[1]
     cl = cache_len or (s + max_new_tokens)
     return _init_state(
         params, cfg, prompt_tokens, prompt_lengths, rng,
         max_new_tokens=max_new_tokens, pad_id=pad_id,
         first_size=_stage_sizes(s, cl, True)[0], quantized_kv=quantized_kv,
+        vocab_window=vocab_window,
     )

@@ -52,14 +52,31 @@ def speculative_generate(
     pad_id: int = 0,
     cache_len: int | None = None,
     quantized_kv: bool = False,
+    vocab_window: tuple[int, int] | None = None,
 ) -> GenerateResult:
     """prompt_tokens: right-padded [B, S]. Returns generated tokens whose
     distribution equals plain ``generate`` on the target model. ``steps``
-    reports verify rounds executed (tokens/round ≈ the speedup)."""
+    reports verify rounds executed (tokens/round ≈ the speedup).
+
+    ``vocab_window=(lo, size)``: both models' sampling is constrained to the
+    window (inference/generate.py semantics); the [B, gamma+1, V] p/q
+    tensors and both LM-head reads shrink to window size. Token variables
+    below then live in window space; ``+ lo`` converts at the model-input /
+    output-emission boundaries (lo == 0 unconstrained).
+    """
     if target_cfg.vocab_size != draft_cfg.vocab_size:
         raise ValueError("draft and target must share the vocabulary")
     b, s = prompt_tokens.shape
-    v = target_cfg.vocab_size
+    lo, v = vocab_window if vocab_window else (0, target_cfg.vocab_size)
+    eos_w = eos_id - lo  # never matches a window id when eos is outside
+    t_head = (
+        llama.slice_logits_head(target_params, target_cfg, lo, v)
+        if vocab_window else None
+    )
+    d_head = (
+        llama.slice_logits_head(draft_params, draft_cfg, lo, v)
+        if vocab_window else None
+    )
     cache_len = cache_len or (s + max_new_tokens + gamma + 1)
     if cache_len < s + max_new_tokens + gamma + 1:
         raise ValueError("cache_len too small for prompt + budget + gamma")
@@ -69,13 +86,22 @@ def speculative_generate(
     drf_cache = llama.init_kv_cache(draft_cfg, b, cache_len,
                                     quantized=quantized_kv)
     t_logits, tgt_cache = llama.prefill(
-        target_params, target_cfg, prompt_tokens, prompt_lengths, tgt_cache
+        target_params, target_cfg, prompt_tokens, prompt_lengths, tgt_cache,
+        logits_head=t_head,
     )
     _, drf_cache = llama.prefill(
-        draft_params, draft_cfg, prompt_tokens, prompt_lengths, drf_cache
+        draft_params, draft_cfg, prompt_tokens, prompt_lengths, drf_cache,
+        logits_head=d_head,
     )
     prompt_mask = jnp.arange(s)[None, :] < prompt_lengths[:, None]
-    token_counts = sampling.counts_from_tokens(prompt_tokens, prompt_mask, v)
+    if vocab_window:
+        token_counts = sampling.counts_from_tokens_windowed(
+            prompt_tokens, prompt_mask, vocab_window
+        )
+    else:
+        token_counts = sampling.counts_from_tokens(
+            prompt_tokens, prompt_mask, v
+        )
     gen_counts = jnp.zeros_like(token_counts)
 
     rng, k0 = jax.random.split(rng)
@@ -85,9 +111,9 @@ def speculative_generate(
     token_counts = token_counts.at[bi, tok].add(1)
     gen_counts = gen_counts.at[bi, tok].add(1)
     out = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
-    out = out.at[:, 0].set(tok)
+    out = out.at[:, 0].set(tok + lo)
     n_gen = jnp.ones((b,), jnp.int32)
-    done = (tok == eos_id) | (max_new_tokens <= 1)
+    done = (tok == eos_w) | (max_new_tokens <= 1)
     tail0 = jnp.take_along_axis(
         prompt_tokens, (prompt_lengths - 1)[:, None], axis=1
     )[:, 0].astype(jnp.int32)
@@ -107,7 +133,8 @@ def speculative_generate(
         qs = []
         for j in range(gamma):
             lg, drf_cache = llama.decode_step(
-                draft_params, draft_cfg, drf_cache, cur, lengths + j
+                draft_params, draft_cfg, drf_cache, cur + lo, lengths + j,
+                logits_head=d_head,
             )
             al = sampling.adjusted_logits(lg, sp, cnt_t, cnt_g)
             if sp.temperature <= 0.0:
@@ -128,7 +155,8 @@ def speculative_generate(
         # --- verify: one target forward over [tok, d_1..d_gamma]
         window = jnp.concatenate([tok[:, None], cand], axis=1)  # [B, gamma+1]
         t_logits, tgt_cache = llama.decode_window(
-            target_params, target_cfg, tgt_cache, window, lengths
+            target_params, target_cfg, tgt_cache, window + lo, lengths,
+            logits_head=t_head,
         )
         cnt_t, cnt_g = token_counts, gen_counts
         ps = []
@@ -179,14 +207,14 @@ def speculative_generate(
             jnp.where(j_idx == n_acc[:, None], t_star[:, None], pad_id),
         ).astype(jnp.int32)
         valid = j_idx <= n_acc[:, None]
-        is_eos = vals == eos_id
+        is_eos = vals == eos_w
         eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos > 0
         valid &= ~eos_before
         valid &= ~done[:, None]
         valid &= n_gen[:, None] + j_idx < max_new_tokens
         positions = jnp.where(valid, n_gen[:, None] + j_idx, max_new_tokens)
         out = out.at[bi[:, None], positions].set(
-            jnp.where(valid, vals, pad_id), mode="drop"
+            jnp.where(valid, vals + lo, pad_id), mode="drop"
         )
         n_emit = jnp.sum(valid.astype(jnp.int32), axis=1)
         token_counts = token_counts.at[
@@ -206,7 +234,7 @@ def speculative_generate(
         last_cand = jnp.take_along_axis(
             cand_pad, jnp.maximum(n_acc - 1, 0)[:, None], axis=1
         )[:, 0]
-        new_tail0 = jnp.where(n_acc == 0, tok, last_cand)
+        new_tail0 = jnp.where(n_acc == 0, tok, last_cand) + lo
         tail0 = jnp.where(adv, new_tail0, tail0)
         tok = jnp.where(adv, t_star, tok)
         done = done | newly_done
@@ -226,7 +254,7 @@ def speculative_generate(
 
 def make_speculative_generate_fn(
     target_cfg, draft_cfg, sp, max_new_tokens, eos_id, gamma=4, pad_id=0,
-    cache_len=None, quantized_kv=False,
+    cache_len=None, quantized_kv=False, vocab_window=None,
 ):
     def fn(target_params, draft_params, prompt_tokens, prompt_lengths, rng):
         return speculative_generate(
@@ -234,6 +262,7 @@ def make_speculative_generate_fn(
             prompt_tokens, prompt_lengths, rng, sp=sp,
             max_new_tokens=max_new_tokens, eos_id=eos_id, gamma=gamma,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
+            vocab_window=vocab_window,
         )
 
     return jax.jit(fn)

@@ -42,6 +42,12 @@ class InferenceSettings:
     repetition_penalty: float = 1.1
     frequency_penalty: float = 0.3
     seed: int = 42
+    # Constrain sampling to the speech-token window (speech tokens +
+    # structural markers, SpeechVocab.generation_window). Guarantees every
+    # generated token is a legal speech-segment token (the reference instead
+    # silently drops non-speech output, inferencing.py:53-63) and cuts the
+    # per-step LM-head read ~3x on the bandwidth-bound decode.
+    constrain_to_speech: bool = True
 
     def sampling_params(self) -> SamplingParams:
         return SamplingParams(
@@ -94,7 +100,12 @@ class LocalTtsModel:
         recompiles (one program per (bucket, max_tokens))."""
         n = len(input_ids)
         bucket = _bucket(n)
-        key = (bucket, settings.max_tokens, dataclasses.astuple(settings)[:7])
+        key = (
+            bucket,
+            settings.max_tokens,
+            dataclasses.astuple(settings)[:7],
+            settings.constrain_to_speech,
+        )
         if key not in self._gen_cache:
             # host-staged: the cache grows as generation fills it, and no
             # single XLA execution spans the whole (up to 1792-token) loop
@@ -104,6 +115,10 @@ class LocalTtsModel:
                 max_new_tokens=settings.max_tokens,
                 eos_id=self._sv.speech_end_id,
                 cache_len=bucket + settings.max_tokens,
+                vocab_window=(
+                    self._sv.generation_window()
+                    if settings.constrain_to_speech else None
+                ),
             )
         fn = self._gen_cache[key]
         padded = np.zeros((1, bucket), dtype=np.int32)

@@ -29,7 +29,12 @@ from tts_max_tpu.ops.attention import (
     decode_attention_bucketed,
 )
 from tts_max_tpu.ops.norms import rms_norm
-from tts_max_tpu.models.quantization import embed_lookup, matmul, tied_logits
+from tts_max_tpu.models.quantization import (
+    embed_lookup,
+    is_quantized,
+    matmul,
+    tied_logits,
+)
 from tts_max_tpu.ops.rope import apply_rope, rope_table
 
 Params = Any  # nested dict pytree
@@ -211,11 +216,45 @@ def _decoder_layer(h, lp, cos, sin, cfg: LlamaConfig):
     return _mlp_block(h, lp, cfg)
 
 
-def _logits(h, params, cfg: LlamaConfig):
+def _logits(h, params, cfg: LlamaConfig, logits_head=None):
     h = rms_norm(h, params["norm"]["scale"], cfg.norm_eps)
+    if logits_head is not None:
+        if cfg.tie_embeddings:
+            return tied_logits(h, logits_head)
+        return matmul(h, logits_head).astype(jnp.float32)
     if cfg.tie_embeddings:
         return tied_logits(h, params["embed"]["embedding"])
     return matmul(h, params["lm_head"]["kernel"]).astype(jnp.float32)
+
+
+def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
+    """Output-head rows [lo, lo+size) for window-constrained decode.
+
+    During speech generation only the speech-token block (+ the structural
+    markers right after it — SpeechVocab.generation_window) is a legal
+    output, so the LM head only needs those rows: at the 193856-token vocab
+    this cuts the per-step head read (and the [B, V] logits/penalty-count
+    traffic) ~3x on the bandwidth-bound decode. Returns the head in the form
+    ``_logits(..., logits_head=...)`` expects: embedding-row form when tied,
+    kernel-column form otherwise (plain or ``{"q", "scale"}`` quantized).
+    """
+    if cfg.tie_embeddings:
+        emb = params["embed"]["embedding"]
+        if is_quantized(emb):
+            return {
+                "q": jax.lax.slice_in_dim(emb["q"], lo, lo + size, axis=0),
+                "scale": jax.lax.slice_in_dim(emb["scale"], lo, lo + size, axis=0),
+            }
+        return jax.lax.slice_in_dim(emb, lo, lo + size, axis=0)
+    k = params["lm_head"]["kernel"]
+    if is_quantized(k):
+        return {
+            "q": jax.lax.slice_in_dim(k["q"], lo, lo + size, axis=k["q"].ndim - 1),
+            "scale": jax.lax.slice_in_dim(
+                k["scale"], lo, lo + size, axis=k["scale"].ndim - 1
+            ),
+        }
+    return jax.lax.slice_in_dim(k, lo, lo + size, axis=k.ndim - 1)
 
 
 def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -347,9 +386,11 @@ def prefill(
     tokens: jnp.ndarray,
     lengths: jnp.ndarray,
     cache,
+    logits_head=None,
 ):
     """Process right-padded prompts [B, S]; fill cache[:, :, :S]; return
-    (last-real-token logits [B, V], cache).
+    (last-real-token logits [B, V], cache). With ``logits_head`` (a
+    slice_logits_head result) logits cover only that window [B, size].
 
     Padded key/value slots within [real_len, S) are later overwritten by
     decode_step (which writes at index ``lengths``), so they are never
@@ -373,10 +414,10 @@ def prefill(
     else:
         small = {"k": ks, "v": vs}
     cache = update_cache_slice(cache, small, 0, 0, 0)
-    logits = _logits(h, params, cfg)
-    last = jnp.take_along_axis(
-        logits, (lengths - 1)[:, None, None], axis=1
-    ).squeeze(1)
+    # gather the last real hidden state BEFORE the head matmul: the [B, S, V]
+    # logits tensor (6.3 GB fp32 at B=128, S=64) is never materialized
+    h_last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)
+    last = _logits(h_last, params, cfg, logits_head)[:, 0]
     return last, cache
 
 
@@ -386,12 +427,14 @@ def decode_step(
     cache,
     tokens: jnp.ndarray,
     lengths: jnp.ndarray,
+    logits_head=None,
 ):
     """One AR decode step.
 
     tokens: [B] new token ids; lengths: [B] valid cache entries BEFORE this
     token (also its position index). Returns (logits [B, V], new cache);
-    caller increments lengths.
+    caller increments lengths. ``logits_head`` (slice_logits_head) restricts
+    logits to a vocab window [B, size].
     """
     b = tokens.shape[0]
     cos, sin = rope_table(
@@ -469,7 +512,7 @@ def decode_step(
         (h, cache["k"], cache["v"]),
         (params["layers"], jnp.arange(cfg.n_layers)),
     )
-    logits = _logits(h[:, None, :], params, cfg)[:, 0]
+    logits = _logits(h[:, None, :], params, cfg, logits_head)[:, 0]
     return logits, {"k": ks, "v": vs}
 
 
@@ -479,6 +522,7 @@ def decode_window(
     cache,
     tokens: jnp.ndarray,
     lengths: jnp.ndarray,
+    logits_head=None,
 ):
     """Chunked decode: process a W-token window in ONE forward.
 
@@ -563,7 +607,7 @@ def decode_window(
         (h, cache["k"], cache["v"]),
         (params["layers"], jnp.arange(cfg.n_layers)),
     )
-    logits = _logits(h, params, cfg)
+    logits = _logits(h, params, cfg, logits_head)
     return logits, {"k": ks, "v": vs}
 
 
@@ -576,6 +620,7 @@ def decode_step_paged(
     table: jnp.ndarray,
     *,
     use_pallas: bool | None = None,
+    logits_head=None,
 ):
     """One AR decode step against a paged (block-pool) cache.
 
@@ -665,5 +710,5 @@ def decode_step_paged(
         (h, cache["k"], cache["v"]),
         (params["layers"], jnp.arange(cfg.n_layers)),
     )
-    logits = _logits(h[:, None, :], params, cfg)[:, 0]
+    logits = _logits(h[:, None, :], params, cfg, logits_head)[:, 0]
     return logits, {"k": ks, "v": vs}

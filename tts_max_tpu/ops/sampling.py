@@ -170,3 +170,15 @@ def counts_from_tokens(tokens: jnp.ndarray, mask: jnp.ndarray, vocab: int) -> jn
     return counts.at[
         jnp.repeat(jnp.arange(b), s), tokens.reshape(-1)
     ].add(mask.reshape(-1).astype(jnp.int32))
+
+
+def counts_from_tokens_windowed(
+    tokens: jnp.ndarray, mask: jnp.ndarray, window: tuple[int, int]
+) -> jnp.ndarray:
+    """[B, size] counts in vocab-window space: global ids outside
+    [lo, lo+size) are dropped (they can never be re-generated under a
+    window-constrained sampler, so penalties ignore them exactly)."""
+    lo, size = window
+    w = tokens - lo
+    m = mask & (w >= 0) & (w < size)
+    return counts_from_tokens(jnp.clip(w, 0, size - 1), m, size)
