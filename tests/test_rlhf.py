@@ -177,3 +177,41 @@ def test_grpo_trainer_end_to_end(decoder):
     assert "reward_mean" in stats and "completion_len" in stats
     stats2 = trainer.train_step([ds[1], ds[2]])
     assert stats2["step"] == 2
+
+
+def test_grpo_trainer_constrained_rollouts():
+    """constrain_to_speech: every completion token is a speech token or
+    <|speech_end|> (no reward-crashing junk in the rollout)."""
+    tok = tokenization.build_byte_tokenizer()
+    sv = tokenization.speech_vocab(tok)
+    lo, size = sv.generation_window()
+    cfg = llama.tiny_config(vocab_size=len(tok), max_seq_len=512)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+
+    class StubReward:
+        __name__ = "stub"
+
+        def __call__(self, completions, **kw):
+            return [1.0 for _ in completions]
+
+    rlhf_cfg = RLHFConfig(num_generations=2, max_completion_length=6,
+                          max_prompt_length=64, constrain_to_speech=True)
+    trainer = grpo.GRPOTrainer(
+        params, cfg, tok, sv, [StubReward()], rlhf_cfg, learning_rate=1e-4
+    )
+    samples = [
+        Sample.from_json(
+            {"wav_path": f"w{i}.wav", "transcript": f"t {i}", "language": "en",
+             "duration": 1.0, "sample_rate": 16000},
+            "ds",
+        )
+        for i in range(2)
+    ]
+    codes = np.arange(20, dtype=np.int32) % 65536
+    ds = TtsRLHFDataset("ds", samples, codes, [(0, 10), (10, 20)], tok)
+    batch, stats = trainer.rollout([ds[0]])
+    comp = np.asarray(batch.tokens)[:, :]  # prompt+completion matrix
+    m = np.asarray(batch.completion_mask).astype(bool)
+    toks = comp[m]
+    assert ((toks >= lo) & (toks < lo + size)).all()
+    assert np.isfinite(batch.advantages).all()

@@ -71,8 +71,10 @@ def main(argv=None):
     parser.add_argument("--codec_decoder", default="")
     parser.add_argument("--codec_encoder", default="")
     parser.add_argument("--max_tokens", type=int, default=1792)
-    parser.add_argument("--quantize", action="store_true",
-                        help="int8 weight-only quantization (2x decode throughput)")
+    parser.add_argument("--quantize", nargs="?", const="int8", default="",
+                        choices=["", "int8", "int4"],
+                        help="weight-only quantization: int8 (2x decode "
+                             "throughput) or int4 (another +36%%, coarser)")
     parser.add_argument("--temperature", type=float, default=0.8)
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
@@ -83,12 +85,15 @@ def main(argv=None):
     params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
     log.info("Loaded model from %s (vocab %d)", args.model_dir, cfg.vocab_size)
     if args.quantize:
+        import functools
+
         from tts_max_tpu.models import quantization
 
-        params = jax.jit(quantization.quantize_llama_params)(
-            jax.tree_util.tree_map(jnp.asarray, params)
-        )
-        log.info("Quantized weights to int8 (per-channel).")
+        bits = 4 if args.quantize == "int4" else 8
+        params = jax.jit(
+            functools.partial(quantization.quantize_llama_params, bits=bits)
+        )(jax.tree_util.tree_map(jnp.asarray, params))
+        log.info("Quantized weights to int%d (per-channel).", bits)
     encoder, decoder = build_codec(args)
     model = LocalTtsModel(
         jax.tree_util.tree_map(jnp.asarray, params), cfg, tokenizer, sv, encoder,

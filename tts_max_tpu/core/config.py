@@ -197,6 +197,12 @@ class RLHFConfig:
     reward_weights: tuple[float, ...] = ()
     save_completions_every_n_steps: int = 0
     whisper_model: str = "openai/whisper-large-v3"
+    # Constrain rollout sampling to the speech-token window
+    # (SpeechVocab.generation_window): faster rollouts (~3x smaller LM-head
+    # read) and no reward-crashing malformed completions. Opt-in because it
+    # changes the behavior policy (the reference's vLLM sampler is
+    # unconstrained).
+    constrain_to_speech: bool = False
 
 
 @dataclass

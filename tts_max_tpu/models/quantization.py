@@ -18,16 +18,26 @@ from typing import Any
 import jax.numpy as jnp
 
 
-def quantize_tensor(w: jnp.ndarray, axis: int) -> dict[str, jnp.ndarray]:
-    """Symmetric int8, reducing ONLY over ``axis`` (the contraction dim).
+def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.ndarray]:
+    """Symmetric int8/int4, reducing ONLY over ``axis`` (the contraction dim).
 
     Leading batch dims (e.g. the stacked-layer L of [L, in, out] kernels)
     keep their own scales so lax.scan can slice layer by layer.
+
+    ``bits=4`` stores jnp.int4 (XLA packs two nibbles per byte in HBM):
+    another halving of the decode weight read on top of int8 — measured 36%
+    faster per decode-scan step at llama-1B geometry on a v5e despite the
+    extra unpack work (BENCHMARKS.md). Per-channel int4 is coarse; use for
+    serving only after checking top-1 agreement on the target checkpoint.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = 7.0 if bits == 4 else 127.0
+    dtype = jnp.int4 if bits == 4 else jnp.int8
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
-        jnp.int8
+    scale = jnp.maximum(amax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax, qmax).astype(
+        dtype
     )
     return {"q": q, "scale": jnp.squeeze(scale, axis=axis).astype(jnp.float32)}
 
@@ -44,18 +54,28 @@ def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["q"].astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
-def quantize_llama_params(params: Any) -> Any:
+def quantize_llama_params(
+    params: Any, bits: int = 8, embed_bits: int | None = None
+) -> Any:
     """Quantize every matmul kernel (per-out-channel) and the embedding
-    (per-row). Norm scales/biases stay fp."""
+    (per-row). Norm scales/biases stay fp.
+
+    ``embed_bits`` overrides ``bits`` for the embedding / LM head (default:
+    int8 floor — logits precision drives sampling quality, and the windowed
+    head read is already small relative to the layer stack, so int4-ing it
+    buys little bandwidth for a real quality cost).
+    """
+    eb = embed_bits if embed_bits is not None else max(bits, 8)
 
     def walk(tree, path=()):
         if isinstance(tree, dict):
             out = {}
             for k, v in tree.items():
                 if k == "kernel" and hasattr(v, "ndim") and v.ndim >= 2:
-                    out[k] = quantize_tensor(v, axis=v.ndim - 2)  # contraction dim
+                    b = eb if path and path[-1] == "lm_head" else bits
+                    out[k] = quantize_tensor(v, axis=v.ndim - 2, bits=b)
                 elif k == "embedding":
-                    out[k] = quantize_tensor(v, axis=1)  # per-row
+                    out[k] = quantize_tensor(v, axis=1, bits=eb)  # per-row
                 else:
                     out[k] = walk(v, path + (k,))
             return out

@@ -170,6 +170,11 @@ class GRPOTrainer:
                 max_new_tokens=self.rlhf.max_completion_length,
                 eos_id=self.sv.speech_end_id,
                 cache_len=bucket + self.rlhf.max_completion_length,
+                vocab_window=(
+                    self.sv.generation_window()
+                    if getattr(self.rlhf, "constrain_to_speech", False)
+                    else None
+                ),
             )
         return self._gen_cache[bucket]
 
