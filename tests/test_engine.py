@@ -158,3 +158,31 @@ def test_engine_vocab_window(setup):
                                      seed=3):
             toks = np.asarray(comp.tokens)
             assert ((toks >= lo) & (toks < lo + size)).all(), toks
+
+
+def test_engine_per_request_sampling(setup):
+    """A greedy request and a high-temperature request run concurrently,
+    each honoring its own SamplingParams (vLLM per-request parity)."""
+    cfg, params = setup
+    engine = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                             sp=SamplingParams(temperature=0.9, top_k=8))
+    prompt = np.array([5, 9, 42, 7, 3], dtype=np.int32)
+    greedy_id = engine.submit(prompt, 8, eos_id=-1,
+                              sampling=SamplingParams(
+                                  temperature=0.0, repetition_penalty=1.0,
+                                  frequency_penalty=0.0))
+    hot_id = engine.submit(prompt, 8, eos_id=-1, sampling_seed=5)
+    by_id = {c.request_id: c for c in engine.run()}
+
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                           sp=_greedy_sp())
+    [ref] = solo.generate_all([prompt], max_new_tokens=8, eos_id=-1)
+    np.testing.assert_array_equal(by_id[greedy_id].tokens, ref.tokens)
+    assert len(by_id[hot_id].tokens) == 8
+
+    # slot reuse must reset the row to the engine default (sampled != greedy
+    # engine default here, so just check the greedy override didn't stick:
+    # same seed through the default params gives the same tokens twice)
+    a = engine.generate_all([prompt], max_new_tokens=8, eos_id=-1, seed=9)
+    b = engine.generate_all([prompt], max_new_tokens=8, eos_id=-1, seed=9)
+    np.testing.assert_array_equal(a[0].tokens, b[0].tokens)

@@ -44,13 +44,18 @@ def main():
     ap.add_argument("--skip_full", action="store_true",
                     help="skip the monolithic full-cache variants (the axon "
                          "relay drops single executions over ~1 minute)")
+    ap.add_argument("--window", action="store_true",
+                    help="speech-window constrained decode (serving config)")
+    ap.add_argument("--bits", type=int, default=8,
+                    help="weight precision: 8 or 4")
     args = ap.parse_args()
     cache_len = args.prompt_len + args.steps
 
     cfg = llama.llama32_1b_config()
+    window = (128264, 65544) if args.window else None
     params = jax.jit(
         lambda k: quantization.quantize_llama_params(
-            llama.init_params(k, cfg, dtype=jnp.bfloat16)
+            llama.init_params(k, cfg, dtype=jnp.bfloat16), bits=args.bits
         )
     )(jax.random.PRNGKey(0))
     tokens = jax.random.randint(
@@ -74,11 +79,13 @@ def main():
                 gen = make_host_staged_generate_fn(
                     cfg, sp, max_new_tokens=args.steps, eos_id=-1,
                     cache_len=cache_len, quantized_kv=qkv,
+                    vocab_window=window,
                 )
             else:
                 gen = make_generate_fn(
                     cfg, sp, max_new_tokens=args.steps, eos_id=-1,
                     cache_len=cache_len, quantized_kv=qkv,
+                    vocab_window=window,
                 )
             res = gen(params, tokens, lengths, jax.random.PRNGKey(1))
             int(res.steps)

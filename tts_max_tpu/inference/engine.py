@@ -40,6 +40,9 @@ class Request:
     max_new_tokens: int
     eos_id: int
     sampling_seed: int = 0
+    # vLLM-style per-request override of the engine's SamplingParams
+    # (temperature / top_k / top_p / penalties); None = engine default.
+    sampling: SamplingParams | None = None
 
 
 @dataclass
@@ -71,6 +74,7 @@ class InferenceEngine:
         pad_id: int = 0,
         quantized_kv: bool = False,
         vocab_window: tuple[int, int] | None = None,
+        max_top_k: int = 64,
     ):
         self.params = params
         self.cfg = cfg
@@ -94,6 +98,10 @@ class InferenceEngine:
         self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
         self.budgets = jnp.zeros((max_batch,), jnp.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
+        # one row of sampling params per slot (per-request overrides)
+        self.bsp = sampling.BatchedSamplingParams.broadcast(
+            sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
+        )
 
         self._slots = [_Slot() for _ in range(max_batch)]
         self._queue: collections.deque[Request] = collections.deque()
@@ -110,6 +118,7 @@ class InferenceEngine:
         max_new_tokens: int,
         eos_id: int,
         sampling_seed: int = 0,
+        sampling: SamplingParams | None = None,
     ) -> int:
         rid = next(self._ids)
         self._queue.append(
@@ -119,6 +128,7 @@ class InferenceEngine:
                 max_new_tokens,
                 eos_id,
                 sampling_seed,
+                sampling,
             )
         )
         return rid
@@ -230,6 +240,7 @@ class InferenceEngine:
             self.rngs = self.rngs.at[slot_idx].set(
                 jax.random.PRNGKey(req.sampling_seed)
             )
+            self.bsp = self.bsp.set_row(slot_idx, req.sampling or self.sp)
             slot.request = req
             slot.generated = []
 
@@ -249,19 +260,27 @@ class InferenceEngine:
         return sampling.counts_from_tokens(tokens, mask, self.cfg.vocab_size)
 
     def _decode_step(self, params, cache, last_logits, lengths, active,
-                     token_counts, gen_counts, rngs, table=None):
+                     token_counts, gen_counts, rngs, bsp, table=None):
         """One lockstep decode over the whole pool (masked inactive slots)."""
         b = self.max_batch
         lo = self.vocab_window[0] if self.vocab_window else 0
         keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
         rngs, sample_keys = keys[:, 0], keys[:, 1]
-        # per-slot sampling with a shared key batch (window space under a
-        # vocab_window; emitted ids are global)
-        toks_w = jax.vmap(
-            lambda k, lg, tc, gc: sampling.sample_token(
-                k, lg[None], self.sp, tc[None], gc[None]
-            )[0]
-        )(sample_keys, last_logits, token_counts, gen_counts)
+        # per-row sampling params (window space under a vocab_window;
+        # emitted ids are global). Per-slot RNG streams stay independent of
+        # pool composition: categorical == argmax(logits + gumbel), with the
+        # gumbel drawn from each slot's own key.
+        al = sampling.adjusted_logits_batched(
+            last_logits, bsp, token_counts, gen_counts
+        )
+        noise = jax.vmap(
+            lambda k: jax.random.gumbel(k, (al.shape[-1],), al.dtype)
+        )(sample_keys)
+        toks_w = jnp.where(
+            bsp.temperature <= 0.0,
+            jnp.argmax(al, axis=-1),
+            jnp.argmax(al + noise, axis=-1),
+        )
         toks = jnp.where(active, toks_w + lo, self.pad_id).astype(jnp.int32)
         inc = active.astype(jnp.int32)
         idx = jnp.arange(b)
@@ -286,7 +305,7 @@ class InferenceEngine:
          self.gen_counts, self.rngs) = self._decode(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
-            self._table_device(),
+            self.bsp, self._table_device(),
         )
         self.last_logits = logits
         toks_np = np.asarray(toks)

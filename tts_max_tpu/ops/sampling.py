@@ -163,6 +163,125 @@ def update_counts(counts: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     return counts.at[jnp.arange(b), tokens].add(1)
 
 
+# --- per-row (batched) sampling params --------------------------------------
+# vLLM-style per-request sampling: every row of the batch carries its own
+# temperature / top-k / top-p / penalties (the reference delegates this to
+# vLLM's per-request SamplingParams; the engine stores one row per slot).
+
+
+@dataclass(frozen=True)
+class BatchedSamplingParams:
+    """[B]-shaped device arrays, one row per sequence. ``max_top_k`` is the
+    STATIC bound for the top-k reduction (per-row k clamps to it)."""
+
+    temperature: jnp.ndarray  # [B] f32; <= 0 means greedy for that row
+    top_k: jnp.ndarray  # [B] i32; <= 0 disables
+    top_p: jnp.ndarray  # [B] f32; >= 1 disables
+    repetition_penalty: jnp.ndarray  # [B] f32; 1.0 disables
+    frequency_penalty: jnp.ndarray  # [B] f32; 0.0 disables
+    max_top_k: int = 64
+
+    @staticmethod
+    def broadcast(sp: SamplingParams, batch: int, max_top_k: int | None = None):
+        full = lambda v, dt: jnp.full((batch,), v, dtype=dt)
+        return BatchedSamplingParams(
+            temperature=full(sp.temperature, jnp.float32),
+            top_k=full(sp.top_k, jnp.int32),
+            top_p=full(sp.top_p, jnp.float32),
+            repetition_penalty=full(sp.repetition_penalty, jnp.float32),
+            frequency_penalty=full(sp.frequency_penalty, jnp.float32),
+            max_top_k=max_top_k or max(sp.top_k, 1),
+        )
+
+    def set_row(self, i: int, sp: SamplingParams):
+        """Functionally replace row ``i`` (host-side slot admission)."""
+        return BatchedSamplingParams(
+            temperature=self.temperature.at[i].set(sp.temperature),
+            top_k=self.top_k.at[i].set(sp.top_k),
+            top_p=self.top_p.at[i].set(sp.top_p),
+            repetition_penalty=self.repetition_penalty.at[i].set(
+                sp.repetition_penalty
+            ),
+            frequency_penalty=self.frequency_penalty.at[i].set(
+                sp.frequency_penalty
+            ),
+            max_top_k=self.max_top_k,
+        )
+
+
+jax.tree_util.register_dataclass(
+    BatchedSamplingParams,
+    data_fields=[
+        "temperature", "top_k", "top_p", "repetition_penalty",
+        "frequency_penalty",
+    ],
+    meta_fields=["max_top_k"],
+)
+
+
+def top_k_mask_rowwise(
+    logits: jnp.ndarray, k: jnp.ndarray, max_top_k: int
+) -> jnp.ndarray:
+    """Per-row top-k: row b keeps its k[b] largest logits (k[b] <= 0
+    disables; k[b] clamps to the static ``max_top_k``)."""
+    max_top_k = min(max_top_k, logits.shape[-1])
+    kk = jnp.clip(k, 1, max_top_k)
+    vals = jax.lax.top_k(logits, max_top_k)[0]  # exact is fine: max_top_k small
+    kth = jnp.take_along_axis(vals, (kk - 1)[:, None], axis=-1)  # [B, 1]
+    masked = jnp.where(logits < kth, -jnp.inf, logits)
+    return jnp.where((k > 0)[:, None], masked, logits)
+
+
+def top_p_mask_rowwise(logits: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = cum - probs < p[:, None]
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    masked = jnp.where(logits < thresh, -jnp.inf, logits)
+    return jnp.where((p < 1.0)[:, None], masked, logits)
+
+
+def adjusted_logits_batched(
+    logits: jnp.ndarray,
+    bsp: BatchedSamplingParams,
+    token_counts: jnp.ndarray | None = None,
+    gen_counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        pen = bsp.repetition_penalty[:, None]
+        seen = token_counts > 0
+        scaled = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(seen, scaled, logits)
+    if gen_counts is not None:
+        logits = logits - bsp.frequency_penalty[:, None] * gen_counts.astype(
+            logits.dtype
+        )
+    t = jnp.maximum(bsp.temperature, 1e-6)[:, None]
+    scaled = logits / t
+    scaled = top_k_mask_rowwise(scaled, bsp.top_k, bsp.max_top_k)
+    scaled = top_p_mask_rowwise(scaled, bsp.top_p)
+    return jnp.where((bsp.temperature <= 0.0)[:, None], logits, scaled)
+
+
+def sample_token_batched(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    bsp: BatchedSamplingParams,
+    token_counts: jnp.ndarray | None = None,
+    gen_counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-row parameterized sampling: greedy rows (temperature <= 0) take
+    argmax of the penalty-adjusted logits; the rest sample."""
+    al = adjusted_logits_batched(logits, bsp, token_counts, gen_counts)
+    greedy = jnp.argmax(al, axis=-1)
+    sampled = jax.random.categorical(rng, al, axis=-1)
+    return jnp.where(bsp.temperature <= 0.0, greedy, sampled)
+
+
 def counts_from_tokens(tokens: jnp.ndarray, mask: jnp.ndarray, vocab: int) -> jnp.ndarray:
     """Build [B, V] counts from a [B, S] token matrix with validity mask."""
     b, s = tokens.shape
