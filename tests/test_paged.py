@@ -215,3 +215,105 @@ def test_paged_engine_mid_flight_admission(setup):
     [r2] = solo2.generate_all([p2], max_new_tokens=5, eos_id=-1)
     np.testing.assert_array_equal(done[0].tokens, r1.tokens)
     np.testing.assert_array_equal(done[1].tokens, r2.tokens)
+
+
+# --- automatic prefix caching ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fp32_setup():
+    import dataclasses
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=64, max_seq_len=512), dtype=jnp.float32
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _greedy():
+    return SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                          frequency_penalty=0.0)
+
+
+def test_prefix_cache_reuse_matches_uncached(fp32_setup):
+    """Second request with the same long prefix reuses its blocks (hit
+    counter) and produces the identical greedy completion."""
+    cfg, params = fp32_setup
+    bs = 16
+    prefix = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (3 * bs,), 3, 60)
+    ).astype(np.int32)
+    p1 = np.concatenate([prefix, [7, 9]]).astype(np.int32)
+    p2 = np.concatenate([prefix, [11, 13, 5]]).astype(np.int32)
+
+    ref_eng = PagedInferenceEngine(params, cfg, max_batch=2, max_len=256,
+                                   block_size=bs, sp=_greedy())
+    ref = {c.request_id: c for c in ref_eng.generate_all(
+        [p1, p2], max_new_tokens=8, eos_id=-1)}
+
+    eng = PagedInferenceEngine(params, cfg, max_batch=1, max_len=256,
+                               block_size=bs, sp=_greedy(),
+                               enable_prefix_cache=True)
+    r1 = eng.generate_all([p1], max_new_tokens=8, eos_id=-1)[0]
+    assert eng.prefix_cache_hits == 0
+    r2 = eng.generate_all([p2], max_new_tokens=8, eos_id=-1)[0]
+    assert eng.prefix_cache_hits == 3  # all three full prefix blocks reused
+
+    np.testing.assert_array_equal(r1.tokens, ref[0].tokens)
+    np.testing.assert_array_equal(r2.tokens, ref[1].tokens)
+
+
+def test_prefix_cache_concurrent_sharing_and_refcounts(fp32_setup):
+    """Concurrent same-prefix requests share blocks; refcounts release
+    correctly and blocks become evictable, then get evicted under pressure."""
+    cfg, params = fp32_setup
+    bs = 16
+    prefix = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (2 * bs,), 3, 60)
+    ).astype(np.int32)
+    prompts = [np.concatenate([prefix, [3 + i]]).astype(np.int32)
+               for i in range(3)]
+
+    # small pool: 3 requests x 3 blocks each would need 9 without sharing;
+    # with sharing, 2 shared + 3x2 own(partial+budget... here budget 8 -> 1
+    # extra block) fits in 8
+    # 9 blocks: the three concurrent requests need 4 + 2 + 2 with sharing
+    # (impossible without it: 12); the fat request later needs 8 > the 7
+    # free blocks, forcing LRU eviction of the cached prefix blocks.
+    eng = PagedInferenceEngine(params, cfg, max_batch=3, max_len=128,
+                               block_size=bs, num_blocks=9, sp=_greedy(),
+                               enable_prefix_cache=True)
+    solo = PagedInferenceEngine(params, cfg, max_batch=1, max_len=128,
+                                block_size=bs, sp=_greedy())
+    outs = eng.generate_all(prompts, max_new_tokens=6, eos_id=-1)
+    for p, c in zip(prompts, outs):
+        [r] = solo.generate_all([p], max_new_tokens=6, eos_id=-1)
+        np.testing.assert_array_equal(c.tokens, r.tokens)
+    # everything released: refcounts zero, shared blocks parked evictable
+    assert (eng._refs == 0).all()
+    assert len(eng._evictable) >= 2
+    assert len(eng._free_blocks) + len(eng._evictable) == eng.num_blocks
+
+    # pressure: a fat request forces eviction of cached blocks
+    big = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (64,), 3, 60)
+    ).astype(np.int32)
+    [c] = eng.generate_all([big], max_new_tokens=60, eos_id=-1)
+    assert len(c.tokens) == 60
+
+
+def test_prefix_cache_never_swallows_whole_prompt(fp32_setup):
+    """A prompt that is entirely full cached blocks still forwards its last
+    block so the engine gets last-position logits."""
+    cfg, params = fp32_setup
+    bs = 16
+    p = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(4), (2 * bs,), 3, 60)
+    ).astype(np.int32)
+    eng = PagedInferenceEngine(params, cfg, max_batch=1, max_len=128,
+                               block_size=bs, sp=_greedy(),
+                               enable_prefix_cache=True)
+    a = eng.generate_all([p], max_new_tokens=5, eos_id=-1)[0]
+    b = eng.generate_all([p], max_new_tokens=5, eos_id=-1)[0]
+    assert eng.prefix_cache_hits == 1  # capped at (n-1)//bs
+    np.testing.assert_array_equal(a.tokens, b.tokens)

@@ -20,6 +20,7 @@ bucket and exactly one decode program.
 from __future__ import annotations
 
 import collections
+import hashlib
 import itertools
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -344,6 +345,14 @@ class PagedInferenceEngine(InferenceEngine):
 
     Decode attention reads KV straight through the block table (Pallas
     kernel on TPU, gather fallback on CPU — ops/paged_attention.py).
+
+    ``enable_prefix_cache=True`` adds vLLM-style automatic prefix caching:
+    full prompt blocks are content-addressed by a chained hash; an admitted
+    request reuses every cached leading block (refcounted, shared across
+    concurrent slots — TTS requests with the same voice-prompt prefix share
+    one copy of its KV) and only forwards the uncovered suffix, which for a
+    long voice prompt removes most of the prefill compute. Freed blocks stay
+    cached (zero-ref, LRU-evicted) until the pool needs them.
     """
 
     def __init__(
@@ -359,6 +368,7 @@ class PagedInferenceEngine(InferenceEngine):
         pad_id: int = 0,
         quantized_kv: bool = False,
         vocab_window: tuple[int, int] | None = None,
+        enable_prefix_cache: bool = False,
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -369,6 +379,18 @@ class PagedInferenceEngine(InferenceEngine):
         self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
         # unallocated entries stay 0 (a valid id; attention masks by length)
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
+        # --- prefix cache state ---
+        self.enable_prefix_cache = enable_prefix_cache
+        self._refs = np.zeros((self.num_blocks,), dtype=np.int64)
+        self._hash_of: dict[int, bytes] = {}  # block id -> chain hash
+        self._block_of: dict[bytes, int] = {}  # chain hash -> block id
+        # zero-ref blocks still holding cached KV, in LRU order
+        self._evictable: "collections.OrderedDict[int, bytes]" = (
+            collections.OrderedDict()
+        )
+        self._suffix_prefill_cache: dict[tuple[int, int], Callable] = {}
+        self.prefix_cache_hits = 0  # full blocks reused (stats)
+        self.prefix_cache_misses = 0
         super().__init__(
             params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
             pad_id=pad_id, quantized_kv=quantized_kv,
@@ -393,11 +415,61 @@ class PagedInferenceEngine(InferenceEngine):
         bucket = _bucket(len(req.prompt_tokens), self._bucket_step())
         return (max(total, bucket) + self.block_size - 1) // self.block_size
 
+    # --- prefix-cache bookkeeping -------------------------------------------
+
+    def _block_hashes(self, toks: np.ndarray) -> list[bytes]:
+        """Chained content hash per FULL block of the prompt."""
+        bs = self.block_size
+        out: list[bytes] = []
+        h = b""
+        for i in range(len(toks) // bs):
+            h = hashlib.blake2b(
+                h + np.ascontiguousarray(toks[i * bs : (i + 1) * bs]).tobytes(),
+                digest_size=16,
+            ).digest()
+            out.append(h)
+        return out
+
+    def _prefix_hits(self, req: Request) -> tuple[list[bytes], int]:
+        """(all full-block hashes, number of leading cached blocks). Capped
+        so at least one real prompt token is always forwarded (the engine
+        needs the last-position logits)."""
+        if not self.enable_prefix_cache:
+            return [], 0
+        hashes = self._block_hashes(req.prompt_tokens)
+        m = 0
+        for h in hashes:
+            if h not in self._block_of:
+                break
+            m += 1
+        return hashes, min(m, (len(req.prompt_tokens) - 1) // self.block_size)
+
+    def _alloc_block(self) -> int:
+        if self._free_blocks:
+            return self._free_blocks.pop()
+        blk, h = self._evictable.popitem(last=False)  # LRU eviction
+        del self._block_of[h]
+        del self._hash_of[blk]
+        return blk
+
     def _can_admit(self, req: Request) -> bool:
-        return self._blocks_needed(req) <= len(self._free_blocks)
+        hashes, m = self._prefix_hits(req)
+        reused_evictable = sum(
+            1 for h in hashes[:m] if self._refs[self._block_of[h]] == 0
+        )
+        available = (
+            len(self._free_blocks) + len(self._evictable) - reused_evictable
+        )
+        return self._blocks_needed(req) - m <= available
 
     def _release_slot(self, slot_idx: int) -> None:
-        self._free_blocks.extend(self._slot_blocks[slot_idx])
+        for blk in self._slot_blocks[slot_idx]:
+            self._refs[blk] -= 1
+            if self._refs[blk] == 0:
+                if blk in self._hash_of:
+                    self._evictable[blk] = self._hash_of[blk]
+                else:
+                    self._free_blocks.append(blk)
         self._slot_blocks[slot_idx] = []
         self._table[slot_idx] = 0
 
@@ -427,23 +499,94 @@ class PagedInferenceEngine(InferenceEngine):
             self._prefill_cache[bucket] = jax.jit(fn)
         return self._prefill_cache[bucket]
 
+    def _suffix_prefill_fn(self, m: int, bucket: int, suffix_bucket: int):
+        """One program per (cached-prefix blocks, suffix bucket): gather the
+        shared prefix KV from the pool, forward ONLY the suffix through
+        decode_window, scatter the new blocks back."""
+        key = (m, suffix_bucket)
+        if key not in self._suffix_prefill_cache:
+            prefix_len = m * self.block_size
+
+            def fn(params, cache, prompt_tokens, length, suffix_tokens,
+                   suffix_len, prefix_blocks, new_blocks, slot, token_counts):
+                small = llama.gather_blocks_to_cache(cache, prefix_blocks)
+                small = llama.grow_cache(small, prefix_len + suffix_bucket)
+                logits, small = llama.decode_window(
+                    params, self.cfg, small, suffix_tokens,
+                    jnp.full((1,), prefix_len, jnp.int32),
+                    logits_head=self._logits_head(params),
+                )
+                cache = llama.scatter_suffix_to_blocks(
+                    cache, small, new_blocks, prefix_len
+                )
+                last = jnp.take_along_axis(
+                    logits, (suffix_len - 1)[:, None, None], axis=1
+                )[:, 0]
+                mask = jnp.arange(bucket)[None, :] < length[:, None]
+                counts = self._prompt_counts(prompt_tokens, mask)
+                token_counts = jax.lax.dynamic_update_slice(
+                    token_counts, counts, (slot, 0)
+                )
+                return last[0], cache, token_counts
+
+            self._suffix_prefill_cache[key] = jax.jit(fn)
+        return self._suffix_prefill_cache[key]
+
     def _prefill_slot(self, slot_idx: int, req: Request, padded, n: int,
                       bucket: int):
-        need = self._blocks_needed(req)
-        blocks = [self._free_blocks.pop() for _ in range(need)]
+        bs = self.block_size
+        hashes, m = self._prefix_hits(req)
+        reused = [self._block_of[h] for h in hashes[:m]]
+        for blk in reused:
+            if self._refs[blk] == 0:
+                self._evictable.pop(blk, None)
+            self._refs[blk] += 1
+        fresh = [self._alloc_block()
+                 for _ in range(self._blocks_needed(req) - m)]
+        for blk in fresh:
+            self._refs[blk] += 1
+        blocks = reused + fresh
         self._slot_blocks[slot_idx] = blocks
         self._table[slot_idx] = 0
         self._table[slot_idx, : len(blocks)] = blocks
-        prefill_blocks = jnp.asarray(
-            blocks[: bucket // self.block_size], dtype=jnp.int32
-        )
-        logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
-            self.params,
-            self.cache,
-            jnp.asarray(padded),
-            jnp.asarray([n], jnp.int32),
-            prefill_blocks,
-            slot_idx,
-            self.token_counts,
-        )
+
+        if m == 0:
+            prefill_blocks = jnp.asarray(blocks[: bucket // bs], jnp.int32)
+            logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
+                self.params,
+                self.cache,
+                jnp.asarray(padded),
+                jnp.asarray([n], jnp.int32),
+                prefill_blocks,
+                slot_idx,
+                self.token_counts,
+            )
+        else:
+            suffix_bucket = bucket - m * bs
+            new_prompt_blocks = jnp.asarray(
+                blocks[m : bucket // bs], jnp.int32
+            )
+            logits, self.cache, self.token_counts = self._suffix_prefill_fn(
+                m, bucket, suffix_bucket
+            )(
+                self.params,
+                self.cache,
+                jnp.asarray(padded),
+                jnp.asarray([n], jnp.int32),
+                jnp.asarray(padded[:, m * bs : bucket]),
+                jnp.asarray([n - m * bs], jnp.int32),
+                jnp.asarray(reused, jnp.int32),
+                new_prompt_blocks,
+                slot_idx,
+                self.token_counts,
+            )
+        if self.enable_prefix_cache:
+            self.prefix_cache_hits += m
+            covered = n // bs  # FULL prompt blocks only
+            self.prefix_cache_misses += covered - m
+            for i in range(m, covered):
+                h = hashes[i]
+                if h not in self._block_of:
+                    self._block_of[h] = blocks[i]
+                    self._hash_of[blocks[i]] = h
         return logits

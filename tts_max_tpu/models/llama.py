@@ -366,6 +366,35 @@ def paged_block_size(cache) -> int:
     return (cache["k"]["q"] if cache_is_quantized(cache) else cache["k"]).shape[2]
 
 
+def gather_blocks_to_cache(pool, block_ids, batch: int = 1):
+    """Gather ordered pool blocks into a contiguous batch-1 cache
+    [L, 1, len(block_ids)*block_size, ...] — the inverse of
+    :func:`scatter_prefill_to_blocks`. Used by prefix-cached admission to
+    rebuild the shared-prefix KV context for a suffix prefill."""
+
+    def leaf(big):
+        g = big[:, block_ids]  # [L, m, bs, ...]
+        return g.reshape(g.shape[0], 1, -1, *g.shape[3:])
+
+    return jax.tree.map(leaf, pool)
+
+
+def scatter_suffix_to_blocks(pool, small, block_ids, start: int):
+    """Scatter the region [start, start + len(block_ids)*bs) of a contiguous
+    batch-1 cache (leaves [L, 1, S, ...]) into pool blocks ``block_ids``.
+    ``start`` must be block-aligned."""
+
+    def leaf(big, little):
+        bs = big.shape[2]
+        lit = little[:, 0, start : start + block_ids.shape[0] * bs]
+        resh = lit.reshape(
+            lit.shape[0], block_ids.shape[0], bs, *lit.shape[2:]
+        )
+        return big.at[:, block_ids].set(resh.astype(big.dtype))
+
+    return jax.tree.map(leaf, pool, small)
+
+
 def scatter_prefill_to_blocks(pool, small, block_ids):
     """Scatter a contiguous batch-1 prefill cache (leaves [L, 1, S, ...])
     into pool blocks ``block_ids`` ([S // block_size] int32)."""
