@@ -186,3 +186,30 @@ def test_engine_per_request_sampling(setup):
     a = engine.generate_all([prompt], max_new_tokens=8, eos_id=-1, seed=9)
     b = engine.generate_all([prompt], max_new_tokens=8, eos_id=-1, seed=9)
     np.testing.assert_array_equal(a[0].tokens, b[0].tokens)
+
+
+def test_engine_per_request_top_p(setup):
+    """A top_p request re-jits the decode step once (use_top_p static flag)
+    and constrains sampling; greedy parity is unaffected."""
+    cfg, params = setup
+    engine = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                             sp=_greedy_sp())
+    assert engine.bsp.use_top_p is False
+    prompt = np.array([5, 9, 42], dtype=np.int32)
+    rid = engine.submit(prompt, 6, eos_id=-1,
+                        sampling=SamplingParams(temperature=1.0, top_k=0,
+                                                top_p=0.05))
+    gid = engine.submit(prompt, 6, eos_id=-1,
+                        sampling=SamplingParams(temperature=0.0,
+                                                repetition_penalty=1.0,
+                                                frequency_penalty=0.0))
+    by_id = {c.request_id: c for c in engine.run()}
+    assert engine.bsp.use_top_p is True
+    # p=0.05 is ultra-peaked: the nucleus is (almost always) the argmax, so
+    # the sampled row behaves near-greedily — and the greedy row must equal
+    # the solo greedy run exactly
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                           sp=_greedy_sp())
+    [ref] = solo.generate_all([prompt], max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(by_id[gid].tokens, ref.tokens)
+    assert len(by_id[rid].tokens) == 6

@@ -67,20 +67,7 @@ _GROUP = 128
 
 def _kth_value(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """k-th largest value per row [..., 1]."""
-    v = logits.shape[-1]
-    num_groups = (v + _GROUP - 1) // _GROUP
-    if k > _GROUP or k > num_groups or v <= 4 * _GROUP:
-        return jax.lax.top_k(logits, k)[0][..., -1:]
-    pad = (-v) % _GROUP
-    if pad:
-        logits = jnp.pad(logits, [(0, 0)] * (logits.ndim - 1) + [(0, pad)],
-                         constant_values=-jnp.inf)
-    g = logits.reshape(*logits.shape[:-1], -1, _GROUP)  # [..., G, 128]
-    group_max = jnp.max(g, axis=-1)  # [..., G]
-    _, top_groups = jax.lax.top_k(group_max, k)  # [..., k]
-    candidates = jnp.take_along_axis(g, top_groups[..., None], axis=-2)
-    candidates = candidates.reshape(*logits.shape[:-1], k * _GROUP)
-    return jax.lax.top_k(candidates, k)[0][..., -1:]
+    return _top_values(logits, k)[..., -1:]
 
 
 def top_p_mask(logits: jnp.ndarray, p: float) -> jnp.ndarray:
@@ -180,6 +167,10 @@ class BatchedSamplingParams:
     repetition_penalty: jnp.ndarray  # [B] f32; 1.0 disables
     frequency_penalty: jnp.ndarray  # [B] f32; 0.0 disables
     max_top_k: int = 64
+    # STATIC: whether any row uses nucleus filtering. When False the [B, V]
+    # sort is compiled out entirely (flipping it re-jits the decode step —
+    # once per engine lifetime, on the first top_p request).
+    use_top_p: bool = False
 
     @staticmethod
     def broadcast(sp: SamplingParams, batch: int, max_top_k: int | None = None):
@@ -191,6 +182,7 @@ class BatchedSamplingParams:
             repetition_penalty=full(sp.repetition_penalty, jnp.float32),
             frequency_penalty=full(sp.frequency_penalty, jnp.float32),
             max_top_k=max_top_k or max(sp.top_k, 1),
+            use_top_p=sp.top_p < 1.0,
         )
 
     def set_row(self, i: int, sp: SamplingParams):
@@ -206,6 +198,7 @@ class BatchedSamplingParams:
                 sp.frequency_penalty
             ),
             max_top_k=self.max_top_k,
+            use_top_p=self.use_top_p or sp.top_p < 1.0,
         )
 
 
@@ -215,8 +208,28 @@ jax.tree_util.register_dataclass(
         "temperature", "top_k", "top_p", "repetition_penalty",
         "frequency_penalty",
     ],
-    meta_fields=["max_top_k"],
+    meta_fields=["max_top_k", "use_top_p"],
 )
+
+
+def _top_values(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact k largest values per row, sorted desc [..., k] — two-stage over
+    large vocabularies (see top_k_mask)."""
+    v = logits.shape[-1]
+    k = min(k, v)
+    num_groups = (v + _GROUP - 1) // _GROUP
+    if k > _GROUP or k > num_groups or v <= 4 * _GROUP:
+        return jax.lax.top_k(logits, k)[0]
+    pad = (-v) % _GROUP
+    if pad:
+        logits = jnp.pad(logits, [(0, 0)] * (logits.ndim - 1) + [(0, pad)],
+                         constant_values=-jnp.inf)
+    g = logits.reshape(*logits.shape[:-1], -1, _GROUP)
+    group_max = jnp.max(g, axis=-1)
+    _, top_groups = jax.lax.top_k(group_max, k)
+    candidates = jnp.take_along_axis(g, top_groups[..., None], axis=-2)
+    candidates = candidates.reshape(*logits.shape[:-1], k * _GROUP)
+    return jax.lax.top_k(candidates, k)[0]
 
 
 def top_k_mask_rowwise(
@@ -226,7 +239,7 @@ def top_k_mask_rowwise(
     disables; k[b] clamps to the static ``max_top_k``)."""
     max_top_k = min(max_top_k, logits.shape[-1])
     kk = jnp.clip(k, 1, max_top_k)
-    vals = jax.lax.top_k(logits, max_top_k)[0]  # exact is fine: max_top_k small
+    vals = _top_values(logits, max_top_k)
     kth = jnp.take_along_axis(vals, (kk - 1)[:, None], axis=-1)  # [B, 1]
     masked = jnp.where(logits < kth, -jnp.inf, logits)
     return jnp.where((k > 0)[:, None], masked, logits)
@@ -263,7 +276,8 @@ def adjusted_logits_batched(
     t = jnp.maximum(bsp.temperature, 1e-6)[:, None]
     scaled = logits / t
     scaled = top_k_mask_rowwise(scaled, bsp.top_k, bsp.max_top_k)
-    scaled = top_p_mask_rowwise(scaled, bsp.top_p)
+    if bsp.use_top_p:  # static: the [B, V] sort compiles out when unused
+        scaled = top_p_mask_rowwise(scaled, bsp.top_p)
     return jnp.where((bsp.temperature <= 0.0)[:, None], logits, scaled)
 
 
