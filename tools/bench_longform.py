@@ -48,6 +48,7 @@ def main():
                     help="speech-window constrained decode (serving config)")
     ap.add_argument("--bits", type=int, default=8,
                     help="weight precision: 8 or 4")
+    ap.add_argument("--kv", choices=["both", "bf16", "int8"], default="both")
     args = ap.parse_args()
     cache_len = args.prompt_len + args.steps
 
@@ -70,6 +71,8 @@ def main():
           file=sys.stderr)
 
     for qkv in (False, True):
+        if args.kv != "both" and qkv != (args.kv == "int8"):
+            continue
         for staged in (False, True):
             if args.skip_full and not staged:
                 continue
