@@ -91,3 +91,35 @@ def test_llama8b_sharding_plan_abstract():
             lambda p, t: llama.forward(p, cfg, t)
         ).lower(abstract_params, tokens)
     assert lowered is not None
+
+
+def test_tp_sharded_engine_matches_replicated():
+    """The continuous-batching engine runs with TP-sharded params (GSPMD
+    propagates from the committed param shardings) and reproduces the
+    replicated engine's greedy tokens."""
+    from tts_max_tpu.inference.engine import InferenceEngine
+    from tts_max_tpu.ops.sampling import SamplingParams
+
+    import dataclasses
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
+    # fp32 compute: TP splits each matmul's reduction over 8 devices, and
+    # bf16 accumulation-order noise flips greedy near-ties on a random model
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=64, max_seq_len=256), dtype=jnp.float32
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    prompts = [np.array([5, 9, 42, 7], dtype=np.int32),
+               np.array([11, 3], dtype=np.int32)]
+
+    ref_eng = InferenceEngine(params, cfg, max_batch=2, max_len=128, sp=sp)
+    ref = ref_eng.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+
+    sharded = jax.device_put(params, params_shardings(params, mesh))
+    with mesh:
+        eng = InferenceEngine(sharded, cfg, max_batch=2, max_len=128, sp=sp)
+        out = eng.generate_all(prompts, max_new_tokens=8, eos_id=-1)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
