@@ -1,0 +1,168 @@
+"""Batch/throughput TTS serving CLI over the continuous-batching engine.
+
+The reference serves batched generation through a vLLM server
+(/root/reference/tts/training/rlhf/run_rlhf_combine.sh:60); this is the
+TPU-native equivalent as a CLI: a JSONL of requests drives the
+PagedInferenceEngine (mid-flight admission, paged KV, automatic prefix
+caching, per-request sampling, speech-window constrained decode), and every
+completion is vocoded to a wav.
+
+Request JSONL fields (one object per line):
+  text                 (required) text to synthesize
+  prompt_wav           optional voice-prompt wav path (shared prompts hit
+                       the prefix cache and share KV blocks)
+  prompt_transcript    transcript of the voice prompt
+  temperature/top_k/top_p/repetition_penalty/frequency_penalty/max_tokens
+                       optional per-request sampling overrides
+  output               optional wav path (default <out_dir>/req_<i>.wav)
+
+Usage:
+  python tools/serve_batch.py --model_dir serving --requests reqs.jsonl \
+      --out_dir wavs [--quantize int8] [--max_batch 16] [--codec_...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.core import prompting
+from tts_max_tpu.core.constants import CODEC_SAMPLE_RATE, CODEC_TOKEN_RATE
+from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
+from tts_max_tpu.data.audio_io import load_wav, save_wav
+from tts_max_tpu.inference.engine import PagedInferenceEngine
+from tts_max_tpu.models import hf_import
+from tts_max_tpu.ops.sampling import SamplingParams
+from tts_max_tpu.utils.logging import get_logger, setup_logging
+
+log = get_logger("serve_batch")
+
+
+def _request_sampling(req: dict, default: SamplingParams) -> SamplingParams:
+    keys = ("temperature", "top_k", "top_p", "repetition_penalty",
+            "frequency_penalty")
+    if not any(k in req for k in keys):
+        return default
+    return SamplingParams(**{
+        **{k: getattr(default, k) for k in keys},
+        **{k: req[k] for k in keys if k in req},
+    })
+
+
+def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--requests", required=True, help="JSONL of requests")
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--codec_decoder", default="")
+    parser.add_argument("--codec_encoder", default="")
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_len", type=int, default=2048)
+    parser.add_argument("--block_size", type=int, default=64)
+    parser.add_argument("--max_tokens", type=int, default=1792)
+    parser.add_argument("--quantize", nargs="?", const="int8", default="",
+                        choices=["", "int8", "int4"])
+    parser.add_argument("--quantized_kv", action="store_true")
+    parser.add_argument("--no_prefix_cache", action="store_true")
+    parser.add_argument("--no_constrain", action="store_true",
+                        help="disable the speech-window sampling constraint")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+    setup_logging(0)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    tokenizer = build_byte_tokenizer()
+    sv = speech_vocab(tokenizer)
+    params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+    if args.quantize:
+        import functools
+
+        from tts_max_tpu.models import quantization
+
+        bits = 4 if args.quantize == "int4" else 8
+        params = jax.jit(
+            functools.partial(quantization.quantize_llama_params, bits=bits)
+        )(jax.tree_util.tree_map(jnp.asarray, params))
+        log.info("Quantized weights to int%d.", bits)
+    from tools.serving_inference import build_codec
+
+    encoder, decoder = build_codec(args)
+
+    engine = PagedInferenceEngine(
+        jax.tree_util.tree_map(jnp.asarray, params), cfg,
+        max_batch=args.max_batch, max_len=args.max_len,
+        block_size=args.block_size, quantized_kv=args.quantized_kv,
+        enable_prefix_cache=not args.no_prefix_cache,
+        vocab_window=None if args.no_constrain else sv.generation_window(),
+    )
+
+    requests = [json.loads(l) for l in open(args.requests) if l.strip()]
+    default_sp = SamplingParams()
+    meta: dict[int, dict] = {}
+    t0 = time.perf_counter()
+    for i, req in enumerate(requests):
+        speech_ids: list[int] = []
+        if req.get("prompt_wav"):
+            wav, _ = load_wav(req["prompt_wav"], CODEC_SAMPLE_RATE)
+            speech_ids = np.asarray(
+                encoder.encode(req["prompt_wav"], wav)
+            ).ravel().tolist()
+        prompt = prompting.compile_inference_prompt(
+            req.get("prompt_transcript", ""), req["text"], speech_ids,
+            req.get("voice_description", ""), True,
+        )
+        input_ids = np.asarray(
+            tokenizer.encode(prompt, add_special_tokens=True), dtype=np.int32
+        )
+        rid = engine.submit(
+            input_ids,
+            max_new_tokens=min(args.max_tokens,
+                               req.get("max_tokens", args.max_tokens)),
+            eos_id=sv.speech_end_id,
+            sampling_seed=args.seed + i,
+            sampling=_request_sampling(req, default_sp),
+        )
+        meta[rid] = {"idx": i, "speech_ids": speech_ids,
+                     "output": req.get("output",
+                                       f"{args.out_dir}/req_{i}.wav")}
+
+    completions = engine.run()
+    gen_time = time.perf_counter() - t0
+    total_tokens = sum(len(c.tokens) for c in completions)
+    log.info(
+        "Generated %d completions, %d tokens in %.1fs (%.0f tok/s); "
+        "prefix cache: %d block hits / %d misses",
+        len(completions), total_tokens, gen_time, total_tokens / gen_time,
+        engine.prefix_cache_hits, engine.prefix_cache_misses,
+    )
+
+    for c in completions:
+        m = meta[c.request_id]
+        gen_codes = sv.codes_from_tokens(np.asarray(c.tokens))
+        all_codes = np.concatenate(
+            [np.asarray(m["speech_ids"], dtype=np.int64), gen_codes]
+        )
+        if len(all_codes) == 0:
+            log.warning("request %d produced no speech tokens", m["idx"])
+            continue
+        wav = decoder.decode(all_codes)
+        skip = int(len(m["speech_ids"]) / CODEC_TOKEN_RATE * CODEC_SAMPLE_RATE)
+        save_wav(m["output"], wav[:, skip:], CODEC_SAMPLE_RATE)
+        log.info("Wrote %s (%.2fs audio)", m["output"],
+                 (wav.shape[1] - skip) / CODEC_SAMPLE_RATE)
+
+
+if __name__ == "__main__":
+    main()

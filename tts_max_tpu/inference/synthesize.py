@@ -146,9 +146,11 @@ class LocalTtsModel:
         encoding_time = 0.0
         if not voice_description or enable_instruction:
             with Timer() as t:
+                # encode returns [T] for a 1-D wav and [1, T] for the [1, n]
+                # wavs audio_io.load_wav produces — flatten either way
                 speech_ids = np.asarray(
                     self._audio_encoder.encode(prompt_id, prompt_wav)
-                ).tolist()
+                ).ravel().tolist()
             encoding_time = t.elapsed
 
         prompt = prompting.compile_inference_prompt(
@@ -192,7 +194,9 @@ class LocalTtsModel:
         self, prompt_wav, inference_settings: InferenceSettings
     ) -> np.ndarray:
         """Pure speech continuation (reference inferencing.py:231-276)."""
-        codes = np.asarray(self._audio_encoder.encode("__complete__", prompt_wav))
+        codes = np.asarray(
+            self._audio_encoder.encode("__complete__", prompt_wav)
+        ).ravel()
         input_ids = np.concatenate(
             [
                 [self._sv.speech_start_id],
