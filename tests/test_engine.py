@@ -213,3 +213,35 @@ def test_engine_per_request_top_p(setup):
     [ref] = solo.generate_all([prompt], max_new_tokens=6, eos_id=-1)
     np.testing.assert_array_equal(by_id[gid].tokens, ref.tokens)
     assert len(by_id[rid].tokens) == 6
+
+
+def test_serve_batch_cli(tmp_path):
+    """tools/serve_batch.py end-to-end on a tiny exported model: JSONL
+    requests -> engine -> wavs."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tts_max_tpu.models import hf_import
+    from tools import serve_batch
+
+    cfg = llama.tiny_config(vocab_size=512, max_seq_len=256)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    model_dir = str(tmp_path / "model")
+    hf_import.save_model_to_hf_dir(params, cfg, model_dir)
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        json.dumps({"text": "a", "max_tokens": 6}) + "\n"
+        + json.dumps({"text": "bb", "max_tokens": 5, "temperature": 0.0,
+                      "repetition_penalty": 1.0, "frequency_penalty": 0.0})
+        + "\n"
+    )
+    out_dir = tmp_path / "wavs"
+    serve_batch.main([
+        "--model_dir", model_dir, "--requests", str(reqs),
+        "--out_dir", str(out_dir), "--max_batch", "2", "--max_len", "256",
+        "--max_tokens", "6",
+    ])
+    import os
+    assert sorted(os.listdir(out_dir)) == ["req_0.wav", "req_1.wav"]

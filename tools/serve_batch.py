@@ -100,12 +100,17 @@ def main(argv=None):
 
     encoder, decoder = build_codec(args)
 
+    window = None if args.no_constrain else sv.generation_window()
+    if window and window[0] + window[1] > cfg.vocab_size:
+        log.warning("speech window %s exceeds model vocab %d; disabling the "
+                    "constraint", window, cfg.vocab_size)
+        window = None
     engine = PagedInferenceEngine(
         jax.tree_util.tree_map(jnp.asarray, params), cfg,
         max_batch=args.max_batch, max_len=args.max_len,
         block_size=args.block_size, quantized_kv=args.quantized_kv,
         enable_prefix_cache=not args.no_prefix_cache,
-        vocab_window=None if args.no_constrain else sv.generation_window(),
+        vocab_window=window,
     )
 
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]

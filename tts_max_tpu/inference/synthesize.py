@@ -95,6 +95,14 @@ class LocalTtsModel:
         self._audio_decoder = audio_decoder
         self._gen_cache: dict = {}
 
+    def _vocab_window(self, settings: InferenceSettings):
+        if not settings.constrain_to_speech:
+            return None
+        lo, size = self._sv.generation_window()
+        if lo + size > self._cfg.vocab_size:  # tokenizer outgrew the model
+            return None
+        return (lo, size)
+
     def _generate(self, input_ids: np.ndarray, settings: InferenceSettings):
         """Run the jitted generator; prompt length bucketed to limit
         recompiles (one program per (bucket, max_tokens))."""
@@ -115,10 +123,7 @@ class LocalTtsModel:
                 max_new_tokens=settings.max_tokens,
                 eos_id=self._sv.speech_end_id,
                 cache_len=bucket + settings.max_tokens,
-                vocab_window=(
-                    self._sv.generation_window()
-                    if settings.constrain_to_speech else None
-                ),
+                vocab_window=self._vocab_window(settings),
             )
         fn = self._gen_cache[key]
         padded = np.zeros((1, bucket), dtype=np.int32)
