@@ -245,3 +245,23 @@ def test_serve_batch_cli(tmp_path):
     ])
     import os
     assert sorted(os.listdir(out_dir)) == ["req_0.wav", "req_1.wav"]
+
+
+def test_engine_min_tokens(setup):
+    """Per-request min_tokens masks EOS until that many tokens generated."""
+    cfg, params = setup
+    prompt = np.array([5, 9, 42, 7, 3], dtype=np.int32)
+    probe = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                            sp=_greedy_sp())
+    [c] = probe.generate_all([prompt], max_new_tokens=1, eos_id=-1)
+    first = int(c.tokens[0])
+
+    eng = InferenceEngine(params, cfg, max_batch=2, max_len=128,
+                          sp=_greedy_sp())
+    stop_id = eng.submit(prompt, 12, eos_id=first)
+    min_id = eng.submit(prompt, 12, eos_id=first, min_tokens=5)
+    by_id = {c.request_id: c for c in eng.run()}
+    assert len(by_id[stop_id].tokens) == 1  # immediate EOS
+    toks = by_id[min_id].tokens
+    assert len(toks) >= 5
+    assert (toks[:4] != first).all()

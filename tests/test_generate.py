@@ -241,3 +241,32 @@ def test_host_staged_generate_matches(tiny):
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(res.tokens))
     np.testing.assert_array_equal(np.asarray(ref.num_generated),
                                   np.asarray(res.num_generated))
+
+
+def test_min_new_tokens_blocks_eos(tiny):
+    """vLLM min_tokens semantics: EOS is unsampleable until min_new_tokens
+    have been generated (reference InferenceSettings.min_tokens)."""
+    cfg, params = tiny
+    toks, lens = _prompt(1, 4, cfg)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    probe = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                     max_new_tokens=1, eos_id=-1)
+    first = int(probe.tokens[0, 0])  # the model's own greedy first token
+    # declaring it EOS normally stops immediately...
+    res = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                   max_new_tokens=16, eos_id=first)
+    assert int(res.num_generated[0]) == 1
+    # ...but with min_new_tokens=5 the first 4 samples must not be EOS
+    res = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                   max_new_tokens=16, eos_id=first, min_new_tokens=5)
+    n = int(res.num_generated[0])
+    assert n >= 5
+    out = np.asarray(res.tokens[0])
+    assert (out[:4] != first).all()
+    # and the same through a vocab window containing the EOS
+    res_w = generate(params, cfg, toks, lens, jax.random.PRNGKey(0), sp=sp,
+                     max_new_tokens=16, eos_id=first, min_new_tokens=5,
+                     vocab_window=(0, cfg.vocab_size))
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(res_w.tokens))

@@ -44,6 +44,8 @@ class Request:
     # vLLM-style per-request override of the engine's SamplingParams
     # (temperature / top_k / top_p / penalties); None = engine default.
     sampling: SamplingParams | None = None
+    # vLLM min_tokens: EOS unsampleable until this many tokens generated.
+    min_tokens: int = 0
 
 
 @dataclass
@@ -98,6 +100,8 @@ class InferenceEngine:
         self.gen_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
         self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
         self.budgets = jnp.zeros((max_batch,), jnp.int32)
+        self.min_tokens = jnp.zeros((max_batch,), jnp.int32)
+        self.prompt_lens = jnp.zeros((max_batch,), jnp.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
         # one row of sampling params per slot (per-request overrides)
         self.bsp = sampling.BatchedSamplingParams.broadcast(
@@ -120,6 +124,7 @@ class InferenceEngine:
         eos_id: int,
         sampling_seed: int = 0,
         sampling: SamplingParams | None = None,
+        min_tokens: int = 0,
     ) -> int:
         rid = next(self._ids)
         self._queue.append(
@@ -130,6 +135,7 @@ class InferenceEngine:
                 eos_id,
                 sampling_seed,
                 sampling,
+                min_tokens,
             )
         )
         return rid
@@ -238,6 +244,8 @@ class InferenceEngine:
             self.gen_counts = self.gen_counts.at[slot_idx].set(0)
             self.eos_ids = self.eos_ids.at[slot_idx].set(req.eos_id)
             self.budgets = self.budgets.at[slot_idx].set(req.max_new_tokens)
+            self.min_tokens = self.min_tokens.at[slot_idx].set(req.min_tokens)
+            self.prompt_lens = self.prompt_lens.at[slot_idx].set(n)
             self.rngs = self.rngs.at[slot_idx].set(
                 jax.random.PRNGKey(req.sampling_seed)
             )
@@ -261,7 +269,8 @@ class InferenceEngine:
         return sampling.counts_from_tokens(tokens, mask, self.cfg.vocab_size)
 
     def _decode_step(self, params, cache, last_logits, lengths, active,
-                     token_counts, gen_counts, rngs, bsp, table=None):
+                     token_counts, gen_counts, rngs, bsp, eos_ids,
+                     min_tokens, prompt_lens, table=None):
         """One lockstep decode over the whole pool (masked inactive slots)."""
         b = self.max_batch
         lo = self.vocab_window[0] if self.vocab_window else 0
@@ -273,6 +282,17 @@ class InferenceEngine:
         # gumbel drawn from each slot's own key.
         al = sampling.adjusted_logits_batched(
             last_logits, bsp, token_counts, gen_counts
+        )
+        # vLLM min_tokens: mask each row's EOS column until it has
+        # generated min_tokens (rows with eos outside the window skip)
+        eos_w = eos_ids - lo
+        in_range = (eos_w >= 0) & (eos_w < al.shape[-1])
+        n_gen = lengths - prompt_lens
+        blocked = in_range & (n_gen + 1 < min_tokens)
+        rows = jnp.arange(b)
+        cols = jnp.clip(eos_w, 0, al.shape[-1] - 1)
+        al = al.at[rows, cols].set(
+            jnp.where(blocked, -jnp.inf, al[rows, cols])
         )
         noise = jax.vmap(
             lambda k: jax.random.gumbel(k, (al.shape[-1],), al.dtype)
@@ -306,7 +326,8 @@ class InferenceEngine:
          self.gen_counts, self.rngs) = self._decode(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
-            self.bsp, self._table_device(),
+            self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
+            self._table_device(),
         )
         self.last_logits = logits
         toks_np = np.asarray(toks)

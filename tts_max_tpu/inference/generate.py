@@ -87,16 +87,30 @@ def _init_state(params, cfg, prompt_tokens, prompt_lengths, rng, *,
     )
 
 
-def _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window=None):
+def _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window=None,
+               min_new_tokens=0):
     lo = vocab_window[0] if vocab_window else 0
     head = (
         llama.slice_logits_head(params, cfg, *vocab_window)
         if vocab_window else None
     )
+    eos_w = eos_id - lo  # window-space EOS column (may be out of range)
+    block_eos = (
+        min_new_tokens > 0
+        and 0 <= eos_w < (vocab_window[1] if vocab_window else cfg.vocab_size)
+    )
 
     def body(state):
         i, cache, logits, lengths, rng, token_counts, gen_counts, done, out, n_gen = state
         rng, k = jax.random.split(rng)
+        if block_eos:
+            # vLLM min_tokens semantics (reference InferenceSettings
+            # min_tokens): EOS is unsampleable until the sequence has
+            # generated min_new_tokens
+            logits = logits.at[:, eos_w].set(
+                jnp.where(n_gen + 1 < min_new_tokens, -jnp.inf,
+                          logits[:, eos_w])
+            )
         # sampling (and the count buffers) run in window space; emitted ids
         # are global (window id + lo)
         tok_w = sampling.sample_token(k, logits, sp, token_counts, gen_counts)
@@ -128,7 +142,7 @@ def _make_cond(limit):
 
 
 def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
-               vocab_window=None):
+               vocab_window=None, min_new_tokens=0):
     """Grow the cache to ``size`` and decode until step ``limit`` (or EOS).
 
     A stage's decode_step writes at index <= s-1 + i, so the i bound for a
@@ -137,7 +151,8 @@ def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
     """
     b = state[3].shape[0]
     state = (state[0], llama.grow_cache(state[1], size)) + state[2:]
-    body = _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window)
+    body = _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window,
+                      min_new_tokens)
     return jax.lax.while_loop(_make_cond(limit), body, state)
 
 
@@ -156,6 +171,7 @@ def generate(
     quantized_kv: bool = False,
     staged: bool = False,
     vocab_window: tuple[int, int] | None = None,
+    min_new_tokens: int = 0,
 ) -> GenerateResult:
     """prompt_tokens: right-padded [B, S]; returns generated tokens only.
 
@@ -192,20 +208,22 @@ def generate(
         state = _run_stage(
             params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
             size=size, limit=min(max_new_tokens, size - s),
-            vocab_window=vocab_window,
+            vocab_window=vocab_window, min_new_tokens=min_new_tokens,
         )
     (steps, _, _, _, _, _, _, _, out, n_gen) = state
     return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
 
 
 def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
-                     quantized_kv=False, staged=False, vocab_window=None):
+                     quantized_kv=False, staged=False, vocab_window=None,
+                     min_new_tokens=0):
     def fn(params, prompt_tokens, prompt_lengths, rng):
         return generate(
             params, cfg, prompt_tokens, prompt_lengths, rng,
             sp=sp, max_new_tokens=max_new_tokens, eos_id=eos_id,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
             staged=staged, vocab_window=vocab_window,
+            min_new_tokens=min_new_tokens,
         )
 
     return jax.jit(fn)
@@ -214,7 +232,7 @@ def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
 def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                                  cache_len=None, quantized_kv=False,
                                  max_steps_per_dispatch=512,
-                                 vocab_window=None):
+                                 vocab_window=None, min_new_tokens=0):
     """Staged generation with one jitted program per cache size.
 
     Numerically identical to ``make_generate_fn(..., staged=True)`` but
@@ -258,6 +276,7 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                     functools.partial(
                         _run_stage, cfg=cfg, sp=sp, eos_id=eos_id,
                         pad_id=pad_id, size=size, vocab_window=vocab_window,
+                        min_new_tokens=min_new_tokens,
                     ),
                     donate_argnums=(1,),  # consume the input state in place
                 )

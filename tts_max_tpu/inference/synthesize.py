@@ -124,6 +124,7 @@ class LocalTtsModel:
                 eos_id=self._sv.speech_end_id,
                 cache_len=bucket + settings.max_tokens,
                 vocab_window=self._vocab_window(settings),
+                min_new_tokens=settings.min_tokens,
             )
         fn = self._gen_cache[key]
         padded = np.zeros((1, bucket), dtype=np.int32)
