@@ -265,3 +265,22 @@ def test_engine_min_tokens(setup):
     toks = by_id[min_id].tokens
     assert len(toks) >= 5
     assert (toks[:4] != first).all()
+
+
+def test_engine_stats(setup):
+    cfg, params = setup
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    eng = PagedInferenceEngine(params, cfg, max_batch=2, max_len=128,
+                               block_size=64, sp=_greedy_sp(),
+                               enable_prefix_cache=True)
+    s0 = eng.stats()
+    assert s0["active_slots"] == 0 and s0["free_blocks"] == eng.num_blocks
+    eng.submit(np.array([5, 9, 42], dtype=np.int32), 4, eos_id=-1)
+    eng.step()
+    s1 = eng.stats()
+    assert s1["active_slots"] == 1 and s1["used_blocks"] > 0
+    eng.run()
+    s2 = eng.stats()
+    assert s2["active_slots"] == 0
+    assert s2["free_blocks"] + s2["cached_blocks"] == eng.num_blocks

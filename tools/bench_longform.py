@@ -49,10 +49,11 @@ def main():
     ap.add_argument("--bits", type=int, default=8,
                     help="weight precision: 8 or 4")
     ap.add_argument("--kv", choices=["both", "bf16", "int8"], default="both")
+    ap.add_argument("--arch", default="llama-1b")
     args = ap.parse_args()
     cache_len = args.prompt_len + args.steps
 
-    cfg = llama.llama32_1b_config()
+    cfg = llama.config_for_architecture(args.arch)
     window = (128264, 65544) if args.window else None
     params = jax.jit(
         lambda k: quantization.quantize_llama_params(

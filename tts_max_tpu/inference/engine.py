@@ -158,6 +158,28 @@ class InferenceEngine:
             done.extend(self.step())
         return done
 
+    def stats(self) -> dict:
+        """Serving observability: slot/queue occupancy and token counters."""
+        active = sum(1 for s in self._slots if s.request is not None)
+        out = {
+            "active_slots": active,
+            "max_batch": self.max_batch,
+            "queued_requests": len(self._queue),
+            "tokens_in_flight": sum(
+                len(s.generated) for s in self._slots if s.request
+            ),
+        }
+        if hasattr(self, "_refs"):  # paged subclass
+            out.update(
+                free_blocks=len(self._free_blocks),
+                cached_blocks=len(self._evictable),
+                used_blocks=int((self._refs > 0).sum()),
+                num_blocks=self.num_blocks,
+                prefix_cache_hits=self.prefix_cache_hits,
+                prefix_cache_misses=self.prefix_cache_misses,
+            )
+        return out
+
     def generate_all(self, prompts, max_new_tokens: int, eos_id: int,
                      seed: int = 0) -> list[Completion]:
         ids = [
