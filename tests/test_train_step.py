@@ -122,3 +122,56 @@ def test_sharded_train_step(mesh8):
     p_new, o_new, m = step(p2, o2, b2)
     np.testing.assert_allclose(float(m.loss), float(m_ref.loss), rtol=1e-4)
     assert float(m.nonfinite) == 0.0
+
+
+def test_remat_policies_match_no_remat():
+    """remat (full and dots policy) changes memory, not math: same loss and
+    same updated params as the no-remat step."""
+    import dataclasses
+
+    from tts_max_tpu.training import optim
+
+    base = dataclasses.replace(
+        llama.tiny_config(vocab_size=128, max_seq_len=64), dtype=jnp.float32
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), base)
+    tx = optim.create_optimizer(1e-3)
+    batch = {
+        "input_ids": jax.random.randint(jax.random.PRNGKey(1), (1, 4, 32), 0, 128),
+        "labels": jax.random.randint(jax.random.PRNGKey(2), (1, 4, 32), 0, 128),
+    }
+    outs = {}
+    for name, cfg in (
+        ("none", base),
+        ("full", dataclasses.replace(base, remat=True)),
+        ("dots", dataclasses.replace(base, remat=True, remat_policy="dots")),
+    ):
+        opt_state = tx.init(params)
+        new_p, _, m = ts.train_step(
+            params, opt_state, batch, cfg=cfg, tx=tx
+        )
+        outs[name] = (float(m.loss), new_p)
+    for name in ("full", "dots"):
+        assert abs(outs[name][0] - outs["none"][0]) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(outs[name][1]),
+                        jax.tree_util.tree_leaves(outs["none"][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6)  # fp32 recompute reassoc
+
+
+def test_bf16_adam_mu_dtype():
+    from tts_max_tpu.training import optim
+
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tx = optim.create_optimizer(1e-3, mu_dtype="bf16")
+    st = tx.init(params)
+    mus = [l.dtype for l in jax.tree_util.tree_leaves(st)
+           if hasattr(l, "dtype") and l.ndim > 0]
+    assert jnp.bfloat16 in mus
+    batch = {
+        "input_ids": jnp.zeros((1, 2, 16), jnp.int32),
+        "labels": jnp.zeros((1, 2, 16), jnp.int32),
+    }
+    new_p, _, m = ts.train_step(params, st, batch, cfg=cfg, tx=tx)
+    assert np.isfinite(float(m.loss))

@@ -1,0 +1,79 @@
+"""Training-step throughput on the real chip.
+
+Usage: python tools/bench_train.py [--arch llama-1b] [--batch 2] [--seq 2048]
+         [--remat full|dots|none] [--precision bf16|fp32] [--mu bf16|fp32]
+
+Single-chip recipe for 1B: bf16 params + bf16 Adam mu + remat (BENCHMARKS).
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from tts_max_tpu.models import llama
+from tts_max_tpu.training import optim, train_step as ts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="llama-1b")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--remat", choices=["full", "dots", "none"], default="full")
+    ap.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    ap.add_argument("--mu", choices=["bf16", "fp32"], default="bf16")
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    cfg = llama.config_for_architecture(args.arch, max_seq_len=args.seq)
+    cfg = dataclasses.replace(
+        cfg,
+        remat=args.remat != "none",
+        remat_policy="dots" if args.remat == "dots" else None,
+    )
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    params = jax.jit(lambda k: llama.init_params(k, cfg, dtype=dtype))(
+        jax.random.PRNGKey(0)
+    )
+    tx = optim.create_optimizer(1e-4, mu_dtype=args.mu)
+    opt_state = jax.jit(tx.init)(params)
+    batch = {
+        "input_ids": jnp.zeros((1, args.batch, args.seq), jnp.int32),
+        "labels": jnp.ones((1, args.batch, args.seq), jnp.int32),
+    }
+    step = jax.jit(
+        lambda p, o, b: ts.train_step(p, o, b, cfg=cfg, tx=tx),
+        donate_argnums=(0, 1),
+    )
+    params, opt_state, m = step(params, opt_state, batch)
+    _ = float(m.loss)  # compile + warmup
+
+    f = jax.jit(lambda x: jnp.sum(x))
+    float(f(jnp.ones((8, 8))))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(f(jnp.ones((8, 8))))
+    rtt = (time.perf_counter() - t0) / 5
+
+    toks = args.batch * args.seq
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, opt_state, m = step(params, opt_state, batch)
+    _ = float(m.loss)
+    dt = time.perf_counter() - t0 - rtt
+    print(
+        f"{args.arch} remat={args.remat} {args.precision}/mu-{args.mu} "
+        f"batch {args.batch}x{args.seq}: {toks * args.steps / dt:.0f} "
+        f"tokens/s/chip ({dt / args.steps * 1e3:.0f} ms/step)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,9 +125,16 @@ class TrainingConfig:
     warmup_ratio: float = 0.05
     batch_size: int = 4  # per-step global micro-batch (per process)
     weight_decay: float = 0.1
-    precision: str = "bf16"
+    precision: str = "bf16"  # "bf16" casts float params to bf16; "fp32" keeps
     strategy: Strategy = Strategy.DP
     gradient_checkpointing: bool = False
+    # remat granularity when gradient_checkpointing is on: "full" recomputes
+    # the whole layer (min memory); "dots" saves matmul outputs and
+    # recomputes only elementwise ops (faster backward, more memory)
+    remat_policy: str = "full"
+    # AdamW first-moment dtype; "bf16" halves optimizer-state memory (needed
+    # to fit 1B single-chip together with bf16 params + remat)
+    adam_mu_dtype: str = "fp32"
     num_workers: int = 1
     num_train_epochs: float = 1.0
     lr_scheduler: str = "cosine"

@@ -56,6 +56,10 @@ class LlamaConfig:
     tie_embeddings: bool = True
     dtype: Any = jnp.bfloat16  # compute dtype
     remat: bool = False
+    # None = full-layer recompute (min memory); "dots" = save matmul outputs
+    # and recompute only the cheap elementwise/softmax ops in backward
+    # (jax.checkpoint_policies.dots_saveable) — more memory, fewer FLOPs.
+    remat_policy: str | None = None
 
     @property
     def q_dim(self) -> int:
@@ -268,7 +272,11 @@ def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarra
         return _decoder_layer(carry, lp, cos, sin, cfg), None
 
     if cfg.remat:
-        layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if cfg.remat_policy == "dots" else None
+        )
+        layer_fn = jax.checkpoint(layer_fn, prevent_cse=False, policy=policy)
     h, _ = jax.lax.scan(layer_fn, h, params["layers"])
     return _logits(h, params, cfg)
 

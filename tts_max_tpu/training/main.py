@@ -18,6 +18,7 @@ import math
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tts_max_tpu.core.config import ExperimentConfig
@@ -86,6 +87,26 @@ def run_training(config: ExperimentConfig, args) -> None:
         "Model: %s params, vocab %d", llama.param_count(params), model_cfg.vocab_size
     )
 
+    # precision / remat knobs (reference precision sft.json:16, HF
+    # gradient_checkpointing; here: param dtype cast + jax.checkpoint)
+    import dataclasses as _dc
+
+    if config.training.precision == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
+    if config.training.gradient_checkpointing:
+        model_cfg = _dc.replace(
+            model_cfg,
+            remat=True,
+            remat_policy=(
+                "dots" if config.training.remat_policy == "dots" else None
+            ),
+        )
+
     normalizer = create_normalizer(
         config.modeling.parameters.enable_text_normalization
     )
@@ -134,7 +155,9 @@ def run_training(config: ExperimentConfig, args) -> None:
         if tcfg.lr_scheduler == "cosine" and total_steps > warmup
         else optim.constant_schedule(tcfg.learning_rate)
     )
-    tx = optim.create_optimizer(schedule, tcfg.betas, tcfg.weight_decay)
+    tx = optim.create_optimizer(
+        schedule, tcfg.betas, tcfg.weight_decay, mu_dtype=tcfg.adam_mu_dtype
+    )
     opt_state = tx.init(params)
 
     step_fn = ts.make_train_step(

@@ -42,17 +42,20 @@ def create_optimizer(
     betas: tuple[float, float] = (0.9, 0.95),
     weight_decay: float = 0.1,
     gradient_clip_value: float | None = None,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
     """AdamW matching torch semantics (decay applied to every parameter, as
     the reference passes all model.parameters()). ``learning_rate`` may be a
     schedule. Clipping is handled in the train step (non-finite guard), not
-    here, unless requested."""
+    here, unless requested. ``mu_dtype="bf16"`` stores the first moment in
+    bf16 (with bf16 params this is the single-chip 1B memory recipe)."""
     tx = optax.adamw(
         learning_rate=learning_rate,
         b1=betas[0],
         b2=betas[1],
         eps=1e-8,
         weight_decay=weight_decay,
+        mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
     )
     if gradient_clip_value:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_value), tx)
