@@ -27,17 +27,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _fetch_rtt() -> float:
-    f = jax.jit(lambda x: jnp.sum(x))
-    x = jnp.ones((8, 8))
-    float(f(x))
-    t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        float(f(x))
-    return (time.perf_counter() - t0) / n
-
-
 def main():
     from tts_max_tpu.core.constants import CODEC_TOKEN_RATE
     from tts_max_tpu.inference.generate import make_generate_fn
@@ -80,7 +69,9 @@ def main():
         cache_len=prompt_len + decode_steps, vocab_window=speech_window,
     )
 
-    rtt = _fetch_rtt()
+    from tts_max_tpu.utils.profiling import fetch_rtt
+
+    rtt = fetch_rtt()
     print(f"bench: relay RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
 
     # compile + warmup (fetch a scalar to serialize)

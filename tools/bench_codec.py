@@ -15,17 +15,9 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from tts_max_tpu.utils.profiling import fetch_rtt
 from tts_max_tpu.core.constants import CODEC_HOP_LENGTH
 from tts_max_tpu.models.codec import encoder as enc, vocos, w2vbert
-
-
-def rtt_fn():
-    f = jax.jit(lambda x: jnp.sum(x))
-    float(f(jnp.ones((8, 8))))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(f(jnp.ones((8, 8))))
-    return (time.perf_counter() - t0) / 5
 
 
 def main():
@@ -69,7 +61,7 @@ def main():
         )
         arg = wav
 
-    rtt = rtt_fn()
+    rtt = fetch_rtt()
     _ = float(run(params, arg))  # compile + warmup
     best = 0.0
     for _ in range(args.iters):

@@ -56,12 +56,9 @@ def main():
     gen_trainable, disc_params, gen_opt, disc_opt, m = out
     _ = float(m.gen_loss)  # compile + warmup
 
-    f = jax.jit(lambda x: jnp.sum(x))
-    float(f(jnp.ones((8, 8))))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(f(jnp.ones((8, 8))))
-    rtt = (time.perf_counter() - t0) / 5
+    from tts_max_tpu.utils.profiling import fetch_rtt
+
+    rtt = fetch_rtt()
 
     t0 = time.perf_counter()
     for _ in range(args.steps):

@@ -16,19 +16,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from tts_max_tpu.utils.profiling import fetch_rtt
 from tts_max_tpu.inference.generate import make_generate_fn
 from tts_max_tpu.models import llama, quantization
 from tts_max_tpu.ops import sampling
-
-
-def fetch_rtt() -> float:
-    f = jax.jit(lambda x: jnp.sum(x))
-    x = jnp.ones((8, 8))
-    float(f(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(f(x))
-    return (time.perf_counter() - t0) / 5
 
 
 def main():

@@ -54,12 +54,9 @@ def main():
     params, opt_state, m = step(params, opt_state, batch)
     _ = float(m.loss)  # compile + warmup
 
-    f = jax.jit(lambda x: jnp.sum(x))
-    float(f(jnp.ones((8, 8))))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(f(jnp.ones((8, 8))))
-    rtt = (time.perf_counter() - t0) / 5
+    from tts_max_tpu.utils.profiling import fetch_rtt
+
+    rtt = fetch_rtt()
 
     toks = args.batch * args.seq
     t0 = time.perf_counter()

@@ -87,15 +87,12 @@ def main(argv=None):
     sv = speech_vocab(tokenizer)
     params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
     if args.quantize:
-        import functools
-
         from tts_max_tpu.models import quantization
 
-        bits = 4 if args.quantize == "int4" else 8
-        params = jax.jit(
-            functools.partial(quantization.quantize_llama_params, bits=bits)
-        )(jax.tree_util.tree_map(jnp.asarray, params))
-        log.info("Quantized weights to int%d.", bits)
+        params = quantization.quantize_for_serving(
+            jax.tree_util.tree_map(jnp.asarray, params), args.quantize
+        )
+        log.info("Quantized weights (%s, per-channel).", args.quantize)
     from tools.serving_inference import build_codec
 
     encoder, decoder = build_codec(args)
@@ -131,13 +128,22 @@ def main(argv=None):
         input_ids = np.asarray(
             tokenizer.encode(prompt, add_special_tokens=True), dtype=np.int32
         )
+        budget = min(args.max_tokens, req.get("max_tokens", args.max_tokens),
+                     args.max_len - len(input_ids))
+        if budget <= 0:
+            # one oversized request must not abort the whole batch: skip it
+            log.warning(
+                "request %d skipped: prompt %d tokens leaves no budget "
+                "within max_len %d", i, len(input_ids), args.max_len,
+            )
+            continue
         rid = engine.submit(
             input_ids,
-            max_new_tokens=min(args.max_tokens,
-                               req.get("max_tokens", args.max_tokens)),
+            max_new_tokens=budget,
             eos_id=sv.speech_end_id,
             sampling_seed=args.seed + i,
             sampling=_request_sampling(req, default_sp),
+            min_tokens=req.get("min_tokens", 0),
         )
         meta[rid] = {"idx": i, "speech_ids": speech_ids,
                      "output": req.get("output",

@@ -85,15 +85,12 @@ def main(argv=None):
     params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
     log.info("Loaded model from %s (vocab %d)", args.model_dir, cfg.vocab_size)
     if args.quantize:
-        import functools
-
         from tts_max_tpu.models import quantization
 
-        bits = 4 if args.quantize == "int4" else 8
-        params = jax.jit(
-            functools.partial(quantization.quantize_llama_params, bits=bits)
-        )(jax.tree_util.tree_map(jnp.asarray, params))
-        log.info("Quantized weights to int%d (per-channel).", bits)
+        params = quantization.quantize_for_serving(
+            jax.tree_util.tree_map(jnp.asarray, params), args.quantize
+        )
+        log.info("Quantized weights (%s, per-channel).", args.quantize)
     encoder, decoder = build_codec(args)
     model = LocalTtsModel(
         jax.tree_util.tree_map(jnp.asarray, params), cfg, tokenizer, sv, encoder,

@@ -302,27 +302,21 @@ class InferenceEngine:
         # emitted ids are global). Per-slot RNG streams stay independent of
         # pool composition: categorical == argmax(logits + gumbel), with the
         # gumbel drawn from each slot's own key.
-        al = sampling.adjusted_logits_batched(
-            last_logits, bsp, token_counts, gen_counts
-        )
-        # vLLM min_tokens: mask each row's EOS column until it has
-        # generated min_tokens (rows with eos outside the window skip)
+        # vLLM min_tokens: mask each row's EOS column on the RAW logits
+        # (before penalties/top-k, matching generate.py and vLLM's
+        # logits-processor-before-sampling order) while that row has
+        # generated fewer than min_tokens
         eos_w = eos_ids - lo
-        in_range = (eos_w >= 0) & (eos_w < al.shape[-1])
+        in_range = (eos_w >= 0) & (eos_w < last_logits.shape[-1])
         n_gen = lengths - prompt_lens
-        blocked = in_range & (n_gen + 1 < min_tokens)
+        blocked = in_range & (n_gen < min_tokens)
         rows = jnp.arange(b)
-        cols = jnp.clip(eos_w, 0, al.shape[-1] - 1)
-        al = al.at[rows, cols].set(
-            jnp.where(blocked, -jnp.inf, al[rows, cols])
+        cols = jnp.clip(eos_w, 0, last_logits.shape[-1] - 1)
+        last_logits = last_logits.at[rows, cols].set(
+            jnp.where(blocked, -jnp.inf, last_logits[rows, cols])
         )
-        noise = jax.vmap(
-            lambda k: jax.random.gumbel(k, (al.shape[-1],), al.dtype)
-        )(sample_keys)
-        toks_w = jnp.where(
-            bsp.temperature <= 0.0,
-            jnp.argmax(al, axis=-1),
-            jnp.argmax(al + noise, axis=-1),
+        toks_w = sampling.sample_token_batched(
+            sample_keys, last_logits, bsp, token_counts, gen_counts
         )
         toks = jnp.where(active, toks_w + lo, self.pad_id).astype(jnp.int32)
         inc = active.astype(jnp.int32)
@@ -412,6 +406,7 @@ class PagedInferenceEngine(InferenceEngine):
         quantized_kv: bool = False,
         vocab_window: tuple[int, int] | None = None,
         enable_prefix_cache: bool = False,
+        max_top_k: int = 64,
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -437,7 +432,7 @@ class PagedInferenceEngine(InferenceEngine):
         super().__init__(
             params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
             pad_id=pad_id, quantized_kv=quantized_kv,
-            vocab_window=vocab_window,
+            vocab_window=vocab_window, max_top_k=max_top_k,
         )
 
     def _make_cache(self):

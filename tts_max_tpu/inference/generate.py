@@ -105,11 +105,10 @@ def _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window=None,
         rng, k = jax.random.split(rng)
         if block_eos:
             # vLLM min_tokens semantics (reference InferenceSettings
-            # min_tokens): EOS is unsampleable until the sequence has
-            # generated min_new_tokens
+            # min_tokens): EOS is banned while fewer than min_new_tokens
+            # have been generated
             logits = logits.at[:, eos_w].set(
-                jnp.where(n_gen + 1 < min_new_tokens, -jnp.inf,
-                          logits[:, eos_w])
+                jnp.where(n_gen < min_new_tokens, -jnp.inf, logits[:, eos_w])
             )
         # sampling (and the count buffers) run in window space; emitted ids
         # are global (window id + lo)

@@ -374,7 +374,7 @@ def paged_block_size(cache) -> int:
     return (cache["k"]["q"] if cache_is_quantized(cache) else cache["k"]).shape[2]
 
 
-def gather_blocks_to_cache(pool, block_ids, batch: int = 1):
+def gather_blocks_to_cache(pool, block_ids):
     """Gather ordered pool blocks into a contiguous batch-1 cache
     [L, 1, len(block_ids)*block_size, ...] — the inverse of
     :func:`scatter_prefill_to_blocks`. Used by prefix-cached admission to

@@ -86,6 +86,20 @@ def quantize_llama_params(
     return walk(params)
 
 
+def quantize_for_serving(params: Any, mode: str) -> Any:
+    """Serving-CLI helper: ``mode`` in {"", "int8", "int4"} → params
+    quantized under one jit (the full-precision tree never lives next to the
+    quantized one in HBM)."""
+    if not mode:
+        return params
+    import functools
+
+    import jax
+
+    bits = 4 if mode == "int4" else 8
+    return jax.jit(functools.partial(quantize_llama_params, bits=bits))(params)
+
+
 # --- compute helpers used by the model code ---------------------------------
 
 

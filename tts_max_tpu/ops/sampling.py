@@ -282,18 +282,26 @@ def adjusted_logits_batched(
 
 
 def sample_token_batched(
-    rng: jax.Array,
+    rngs: jax.Array,
     logits: jnp.ndarray,
     bsp: BatchedSamplingParams,
     token_counts: jnp.ndarray | None = None,
     gen_counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Per-row parameterized sampling: greedy rows (temperature <= 0) take
-    argmax of the penalty-adjusted logits; the rest sample."""
+    """Per-row parameterized sampling with PER-ROW keys ``rngs`` [B, 2]:
+    greedy rows (temperature <= 0) take argmax of the penalty-adjusted
+    logits; the rest sample via the gumbel trick (categorical ==
+    argmax(logits + gumbel)), so each row's random stream is independent of
+    the rest of the batch (continuous-batching slot isolation)."""
     al = adjusted_logits_batched(logits, bsp, token_counts, gen_counts)
-    greedy = jnp.argmax(al, axis=-1)
-    sampled = jax.random.categorical(rng, al, axis=-1)
-    return jnp.where(bsp.temperature <= 0.0, greedy, sampled)
+    noise = jax.vmap(lambda k: jax.random.gumbel(k, (al.shape[-1],), al.dtype))(
+        rngs
+    )
+    return jnp.where(
+        bsp.temperature <= 0.0,
+        jnp.argmax(al, axis=-1),
+        jnp.argmax(al + noise, axis=-1),
+    )
 
 
 def counts_from_tokens(tokens: jnp.ndarray, mask: jnp.ndarray, vocab: int) -> jnp.ndarray:

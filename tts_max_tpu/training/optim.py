@@ -48,14 +48,18 @@ def create_optimizer(
     the reference passes all model.parameters()). ``learning_rate`` may be a
     schedule. Clipping is handled in the train step (non-finite guard), not
     here, unless requested. ``mu_dtype="bf16"`` stores the first moment in
-    bf16 (with bf16 params this is the single-chip 1B memory recipe)."""
+    bf16 (with bf16 params this is the single-chip 1B memory recipe);
+    "fp32" pins fp32 moments even for bf16 params; None inherits the param
+    dtype (optax default)."""
     tx = optax.adamw(
         learning_rate=learning_rate,
         b1=betas[0],
         b2=betas[1],
         eps=1e-8,
         weight_decay=weight_decay,
-        mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+        mu_dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[
+            mu_dtype
+        ],
     )
     if gradient_clip_value:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_value), tx)

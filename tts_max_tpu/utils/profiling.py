@@ -29,6 +29,24 @@ def trace(log_dir: str, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def fetch_rtt(iters: int = 5) -> float:
+    """Round-trip time of a trivial jitted scalar fetch.
+
+    On this environment's relayed TPU, ``block_until_ready`` does not block,
+    so every benchmark times a jitted program by fetching an on-device
+    scalar and subtracts this RTT (~28 ms through the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 8))
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(f(x))
+    return (time.perf_counter() - t0) / iters
+
+
 class Throughput:
     """Sliding-window tokens/s and audio-seconds/s tracker."""
 
