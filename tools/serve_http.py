@@ -1,0 +1,275 @@
+"""HTTP TTS serving — the TPU-native analog of the reference's vLLM server
+(/root/reference/tts/training/rlhf/run_rlhf_combine.sh:60, `trl vllm-serve`).
+
+Stdlib-only (http.server + threading): a background worker thread drives the
+continuous-batching PagedInferenceEngine; HTTP handlers submit requests and
+block on a per-request event. Endpoints:
+
+  POST /synthesize   {"text": ..., "prompt_wav"?: path, "prompt_transcript"?,
+                      "max_tokens"?, "min_tokens"?, "temperature"?, "top_k"?,
+                      "top_p"?, "repetition_penalty"?, "frequency_penalty"?,
+                      "seed"?}
+                     -> audio/wav bytes (16 kHz int16 mono)
+  POST /generate     same body -> {"tokens": [...], "codes": [...],
+                      "finish_reason": ...} (no vocoding)
+  GET  /stats        -> engine stats JSON (slots, blocks, prefix-cache hits)
+  GET  /health       -> {"ok": true}
+
+Usage:
+  python tools/serve_http.py --model_dir serving --port 8400 \
+      [--quantize int8] [--codec_decoder dec.pt --codec_encoder enc.pt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import struct
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_max_tpu.core import prompting
+from tts_max_tpu.core.constants import CODEC_SAMPLE_RATE, CODEC_TOKEN_RATE
+from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
+from tts_max_tpu.data.audio_io import load_wav
+from tts_max_tpu.inference.engine import PagedInferenceEngine
+from tts_max_tpu.models import hf_import
+from tts_max_tpu.ops.sampling import SamplingParams
+from tts_max_tpu.utils.logging import get_logger, setup_logging
+
+log = get_logger("serve_http")
+
+_SAMPLING_KEYS = ("temperature", "top_k", "top_p", "repetition_penalty",
+                  "frequency_penalty")
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int = CODEC_SAMPLE_RATE) -> bytes:
+    """Mono 16-bit PCM WAV container (no scipy dependency at request time)."""
+    pcm = (np.clip(np.asarray(wav, np.float32).ravel(), -1, 1) * 32767.0
+           ).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+    hdr += struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+class TtsServer:
+    """Engine + worker thread + synchronous request API."""
+
+    def __init__(self, engine, tokenizer, sv, encoder, decoder,
+                 default_max_tokens: int, max_len: int):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.sv = sv
+        self.encoder = encoder
+        self.decoder = decoder
+        self.default_max_tokens = default_max_tokens
+        self.max_len = max_len
+        self._lock = threading.Lock()
+        self._events: dict[int, threading.Event] = {}
+        self._results: dict[int, object] = {}
+        self._seed = 0
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while not self._stop:
+            with self._lock:
+                work = self.engine.has_work()
+                done = self.engine.step() if work else []
+            for c in done:
+                self._results[c.request_id] = c
+                ev = self._events.pop(c.request_id, None)
+                if ev:
+                    ev.set()
+            if not work:
+                time.sleep(0.005)
+
+    def shutdown(self):
+        self._stop = True
+        self._worker.join(timeout=5)
+
+    def request(self, body: dict, timeout: float = 600.0):
+        """Returns (completion, prompt_speech_ids). Raises on bad input."""
+        speech_ids: list[int] = []
+        if body.get("prompt_wav"):
+            wav, _ = load_wav(body["prompt_wav"], CODEC_SAMPLE_RATE)
+            speech_ids = np.asarray(
+                self.encoder.encode(body["prompt_wav"], wav)
+            ).ravel().tolist()
+        prompt = prompting.compile_inference_prompt(
+            body.get("prompt_transcript", ""), body["text"], speech_ids,
+            body.get("voice_description", ""), True,
+        )
+        input_ids = np.asarray(
+            self.tokenizer.encode(prompt, add_special_tokens=True),
+            dtype=np.int32,
+        )
+        budget = min(
+            int(body.get("max_tokens", self.default_max_tokens)),
+            self.max_len - len(input_ids),
+        )
+        if budget <= 0:
+            raise ValueError(
+                f"prompt is {len(input_ids)} tokens; no budget within "
+                f"max_len {self.max_len}"
+            )
+        sampling = None
+        if any(k in body for k in _SAMPLING_KEYS):
+            d = SamplingParams()
+            sampling = SamplingParams(**{
+                **{k: getattr(d, k) for k in _SAMPLING_KEYS},
+                **{k: body[k] for k in _SAMPLING_KEYS if k in body},
+            })
+        ev = threading.Event()
+        with self._lock:
+            self._seed += 1
+            rid = self.engine.submit(
+                input_ids, budget, eos_id=self.sv.speech_end_id,
+                sampling_seed=int(body.get("seed", self._seed)),
+                sampling=sampling, min_tokens=int(body.get("min_tokens", 0)),
+            )
+            self._events[rid] = ev
+        if not ev.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return self._results.pop(rid), speech_ids
+
+    def stats(self) -> dict:
+        with self._lock:
+            return self.engine.stats()
+
+
+def make_handler(server: TtsServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through our logger
+            log.info("%s " + fmt, self.client_address[0], *a)
+
+        def _json(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"ok": True})
+            if self.path == "/stats":
+                return self._json(200, server.stats())
+            return self._json(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if "text" not in body:
+                    return self._json(400, {"error": "missing 'text'"})
+                comp, prompt_ids = server.request(body)
+                if self.path == "/generate":
+                    codes = server.sv.codes_from_tokens(np.asarray(comp.tokens))
+                    return self._json(200, {
+                        "tokens": np.asarray(comp.tokens).tolist(),
+                        "codes": codes.tolist(),
+                        "finish_reason": comp.finish_reason,
+                    })
+                if self.path == "/synthesize":
+                    codes = server.sv.codes_from_tokens(np.asarray(comp.tokens))
+                    all_codes = np.concatenate(
+                        [np.asarray(prompt_ids, dtype=np.int64), codes]
+                    )
+                    if len(all_codes) == 0:
+                        return self._json(422, {"error": "no speech tokens"})
+                    wav = server.decoder.decode(all_codes)
+                    skip = int(
+                        len(prompt_ids) / CODEC_TOKEN_RATE * CODEC_SAMPLE_RATE
+                    )
+                    data = wav_bytes(wav[:, skip:])
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                return self._json(404, {"error": "unknown endpoint"})
+            except (ValueError, KeyError) as e:
+                return self._json(400, {"error": str(e)})
+            except TimeoutError as e:
+                return self._json(504, {"error": str(e)})
+            except Exception as e:  # keep serving on unexpected errors
+                log.exception("request failed")
+                return self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_server(args) -> TtsServer:
+    from tools.serving_inference import build_codec
+
+    tokenizer = build_byte_tokenizer()
+    sv = speech_vocab(tokenizer)
+    params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    if args.quantize:
+        from tts_max_tpu.models import quantization
+
+        params = quantization.quantize_for_serving(params, args.quantize)
+        log.info("Quantized weights (%s).", args.quantize)
+    encoder, decoder = build_codec(args)
+    window = sv.generation_window()
+    if args.no_constrain or window[0] + window[1] > cfg.vocab_size:
+        window = None
+    engine = PagedInferenceEngine(
+        params, cfg, max_batch=args.max_batch, max_len=args.max_len,
+        block_size=args.block_size, quantized_kv=args.quantized_kv,
+        enable_prefix_cache=True, vocab_window=window,
+    )
+    return TtsServer(engine, tokenizer, sv, encoder, decoder,
+                     args.max_tokens, args.max_len)
+
+
+def main(argv=None):
+    from tts_max_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8400)
+    parser.add_argument("--codec_decoder", default="")
+    parser.add_argument("--codec_encoder", default="")
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_len", type=int, default=2048)
+    parser.add_argument("--block_size", type=int, default=64)
+    parser.add_argument("--max_tokens", type=int, default=1792)
+    parser.add_argument("--quantize", nargs="?", const="int8", default="",
+                        choices=["", "int8", "int4"])
+    parser.add_argument("--quantized_kv", action="store_true")
+    parser.add_argument("--no_constrain", action="store_true")
+    args = parser.parse_args(argv)
+    setup_logging(0)
+
+    server = build_server(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    log.info("Serving TTS on http://%s:%d", args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
