@@ -284,3 +284,33 @@ def test_engine_stats(setup):
     s2 = eng.stats()
     assert s2["active_slots"] == 0
     assert s2["free_blocks"] + s2["cached_blocks"] == eng.num_blocks
+
+
+def test_engine_cancel(setup):
+    """cancel(): queued requests drop, mid-flight requests free their slot
+    (paged: blocks return to the pool) without disturbing others."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    eng = PagedInferenceEngine(params, cfg, max_batch=1, max_len=128,
+                               block_size=64, sp=_greedy_sp())
+    p = np.array([5, 9, 42], dtype=np.int32)
+    keep = eng.submit(p, 6, eos_id=-1)
+    queued = eng.submit(p, 6, eos_id=-1)  # waits: only 1 slot
+    eng.step()
+    assert eng.cancel(queued) is True  # still in queue
+    eng.step()
+    mid = None
+    assert eng.cancel(12345) is False
+    done = eng.run()
+    assert [c.request_id for c in done] == [keep]
+    assert len(done[0].tokens) == 6
+
+    # mid-flight cancel frees blocks
+    a = eng.submit(p, 6, eos_id=-1)
+    eng.step(); eng.step()
+    assert eng.cancel(a) is True
+    assert not eng.has_work()
+    assert (eng._refs == 0).all()
+    s = eng.stats()
+    assert s["free_blocks"] + s["cached_blocks"] == eng.num_blocks

@@ -143,6 +143,23 @@ class InferenceEngine:
     def has_work(self) -> bool:
         return bool(self._queue) or any(s.request for s in self._slots)
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort a request (vLLM abort_request parity): drop it from the
+        queue, or free its slot mid-flight (partial output is discarded).
+        Returns False if the id is unknown/already finished."""
+        for i, req in enumerate(self._queue):
+            if req.request_id == request_id:
+                del self._queue[i]
+                return True
+        for i, slot in enumerate(self._slots):
+            if slot.request is not None and slot.request.request_id == request_id:
+                slot.request = None
+                slot.generated = []
+                self.active = self.active.at[i].set(False)
+                self._release_slot(i)
+                return True
+        return False
+
     def step(self) -> list[Completion]:
         """Admit queued requests into free slots, run ONE decode step for all
         active slots, collect finished completions."""
