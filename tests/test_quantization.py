@@ -63,14 +63,25 @@ def test_quantized_decode_runs():
 def test_quantize_tensor_int4():
     w = jax.random.normal(jax.random.PRNGKey(3), (64, 32))
     qt = q.quantize_tensor(w, axis=0, bits=4)
-    assert qt["q"].dtype == jnp.int4
+    # nibble-packed along the contraction axis: two int4 per uint8 byte
+    assert qt["q4"].dtype == jnp.uint8 and qt["q4"].shape == (32, 32)
     assert qt["scale"].shape == (32,)
     deq = q.dequantize(qt, jnp.float32)
+    assert deq.shape == w.shape
     err = np.abs(np.asarray(deq) - np.asarray(w)).max(axis=0)
     amax = np.abs(np.asarray(w)).max(axis=0)
     assert (err <= amax / 7.0 + 1e-6).all()
+    # per-row embedding orientation packs the feature axis
+    qe = q.quantize_tensor(w, axis=1, bits=4)
+    assert qe["q4"].shape == (64, 16) and qe["scale"].shape == (64,)
+    deq_e = q.dequantize(qe, jnp.float32)
+    err = np.abs(np.asarray(deq_e) - np.asarray(w)).max(axis=1)
+    amax = np.abs(np.asarray(w)).max(axis=1)
+    assert (err <= amax / 7.0 + 1e-6).all()
     with pytest.raises(ValueError):
         q.quantize_tensor(w, axis=0, bits=3)
+    with pytest.raises(ValueError):
+        q.quantize_tensor(jnp.ones((63, 4)), axis=0, bits=4)  # odd K
 
 
 def test_int4_model_generate():
@@ -82,11 +93,11 @@ def test_int4_model_generate():
     cfg = llama.tiny_config(vocab_size=256, max_seq_len=64)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     q4 = q.quantize_llama_params(params, bits=4)
-    # layer kernels int4; embedding/head keep an int8 floor (logits quality)
-    assert q4["layers"]["attn"]["wq"]["kernel"]["q"].dtype == jnp.int4
+    # layer kernels packed int4; embedding/head keep an int8 floor
+    assert "q4" in q4["layers"]["attn"]["wq"]["kernel"]
     assert q4["embed"]["embedding"]["q"].dtype == jnp.int8
     q4e = q.quantize_llama_params(params, bits=4, embed_bits=4)
-    assert q4e["embed"]["embedding"]["q"].dtype == jnp.int4
+    assert "q4" in q4e["embed"]["embedding"]
 
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 256)
     ref = np.asarray(llama.forward(params, cfg, tokens))

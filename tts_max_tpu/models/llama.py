@@ -245,18 +245,20 @@ def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
     if cfg.tie_embeddings:
         emb = params["embed"]["embedding"]
         if is_quantized(emb):
+            # vocab rows are never the packed axis, so slicing axis 0 works
+            # for int8 ("q") and nibble-packed int4 ("q4") alike
             return {
-                "q": jax.lax.slice_in_dim(emb["q"], lo, lo + size, axis=0),
-                "scale": jax.lax.slice_in_dim(emb["scale"], lo, lo + size, axis=0),
+                k: jax.lax.slice_in_dim(v, lo, lo + size, axis=0)
+                for k, v in emb.items()
             }
         return jax.lax.slice_in_dim(emb, lo, lo + size, axis=0)
     k = params["lm_head"]["kernel"]
     if is_quantized(k):
+        # out-channel (vocab) axis is last for payload and scale; int4 packs
+        # the contraction axis, so the last axis again slices directly
         return {
-            "q": jax.lax.slice_in_dim(k["q"], lo, lo + size, axis=k["q"].ndim - 1),
-            "scale": jax.lax.slice_in_dim(
-                k["scale"], lo, lo + size, axis=k["scale"].ndim - 1
-            ),
+            key: jax.lax.slice_in_dim(v, lo, lo + size, axis=v.ndim - 1)
+            for key, v in k.items()
         }
     return jax.lax.slice_in_dim(k, lo, lo + size, axis=k.ndim - 1)
 

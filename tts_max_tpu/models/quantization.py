@@ -24,34 +24,75 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     Leading batch dims (e.g. the stacked-layer L of [L, in, out] kernels)
     keep their own scales so lax.scan can slice layer by layer.
 
-    ``bits=4`` stores jnp.int4 (XLA packs two nibbles per byte in HBM):
-    another halving of the decode weight read on top of int8 — measured 36%
-    faster per decode-scan step at llama-1B geometry on a v5e despite the
-    extra unpack work (BENCHMARKS.md). Per-channel int4 is coarse; use for
-    serving only after checking top-1 agreement on the target checkpoint.
+    ``bits=4`` stores NIBBLE-PACKED uint8 (two int4 values per byte, packed
+    along ``axis``, key "q4"): half the int8 HBM read — measured 36% faster
+    per decode-scan step at llama-1B geometry on a v5e despite the unpack
+    work (BENCHMARKS.md). Packed bytes rather than jnp.int4 because S4
+    arrays crossing a jit boundary hit a device_put layout recursion on the
+    axon TPU platform (CLAUDE.md); uint8 payloads are inert everywhere and
+    unpack inside the consuming program. ``axis`` length must be even.
+    Per-channel int4 is coarse; check top-1 agreement before serving.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     qmax = 7.0 if bits == 4 else 127.0
-    dtype = jnp.int4 if bits == 4 else jnp.int8
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-12)
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax, qmax).astype(
-        dtype
-    )
-    return {"q": q, "scale": jnp.squeeze(scale, axis=axis).astype(jnp.float32)}
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax, qmax)
+    sq_scale = jnp.squeeze(scale, axis=axis).astype(jnp.float32)
+    if bits == 8:
+        return {"q": q.astype(jnp.int8), "scale": sq_scale}
+    axis = axis % w.ndim
+    if w.shape[axis] % 2:
+        raise ValueError(f"int4 packing needs even length along axis {axis}")
+    u = (q + 8.0).astype(jnp.uint8)  # [1, 15]
+    lo = jnp.take(u, jnp.arange(0, w.shape[axis], 2), axis=axis)
+    hi = jnp.take(u, jnp.arange(1, w.shape[axis], 2), axis=axis)
+    return {"q4": lo | (hi << 4), "scale": sq_scale}
+
+
+def unpack_q4(q4: jnp.ndarray, axis: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Packed uint8 [..., K/2, ...] -> values [..., K, ...] in ``dtype``."""
+    axis = axis % q4.ndim
+    lo = (q4 & 0xF).astype(jnp.int8) - 8
+    hi = (q4 >> 4).astype(jnp.int8) - 8
+    stacked = jnp.stack([lo, hi], axis=axis + 1)  # [..., K/2, 2, ...]
+    shape = list(q4.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape).astype(dtype)
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and set(p) >= {"q", "scale"}
+    return isinstance(p, dict) and (
+        set(p) >= {"q", "scale"} or set(p) >= {"q4", "scale"}
+    )
+
+
+def is_packed4(p) -> bool:
+    return isinstance(p, dict) and "q4" in p
+
+
+def _q_values(p, dtype=jnp.float32) -> jnp.ndarray:
+    """Integer payload as ``dtype`` (unpacking int4 if needed).
+
+    Packed kernels pack the contraction (second-to-last) axis; packed
+    embeddings pack the feature (last) axis — disambiguated the same way as
+    the scale broadcast below: a kernel's per-out-channel scale matches the
+    PACKED last dim, an embedding's per-row scale does not.
+    """
+    if not is_packed4(p):
+        return p["q"].astype(dtype)
+    axis = -2 if p["q4"].shape[-1] == p["scale"].shape[-1] else -1
+    return unpack_q4(p["q4"], axis, dtype)
 
 
 def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     scale = p["scale"]
+    q = _q_values(p)
     # broadcast scale over the channel (last for kernels, first for embeddings)
-    if p["q"].shape[-1] == scale.shape[-1]:
-        return (p["q"].astype(jnp.float32) * scale).astype(dtype)
-    return (p["q"].astype(jnp.float32) * scale[..., None]).astype(dtype)
+    if q.shape[-1] == scale.shape[-1]:
+        return (q * scale).astype(dtype)
+    return (q * scale[..., None]).astype(dtype)
 
 
 def quantize_llama_params(
@@ -107,15 +148,18 @@ def matmul(x: jnp.ndarray, p, dtype=None) -> jnp.ndarray:
     """x @ kernel supporting plain arrays and quantized kernels."""
     dtype = dtype or x.dtype
     if is_quantized(p):
-        w = p["q"].astype(dtype)
-        y = x @ w
+        y = x @ _q_values(p, dtype)
         return y * p["scale"].astype(dtype)
     return x @ p.astype(dtype)
 
 
 def embed_lookup(emb, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     if is_quantized(emb):
-        rows = emb["q"][tokens].astype(dtype)
+        if is_packed4(emb):
+            # gather packed rows, then unpack along the feature axis
+            rows = unpack_q4(emb["q4"][tokens], -1, dtype)
+        else:
+            rows = emb["q"][tokens].astype(dtype)
         return rows * emb["scale"][tokens][..., None].astype(dtype)
     return emb[tokens].astype(dtype)
 
@@ -124,6 +168,6 @@ def tied_logits(h: jnp.ndarray, emb) -> jnp.ndarray:
     """h @ embedding.T for plain or quantized embeddings (row scales become
     output-channel scales)."""
     if is_quantized(emb):
-        logits = h @ emb["q"].astype(h.dtype).T
+        logits = h @ _q_values(emb, h.dtype).T
         return (logits * emb["scale"].astype(h.dtype)).astype(jnp.float32)
     return (h @ emb.astype(h.dtype).T).astype(jnp.float32)
