@@ -63,9 +63,14 @@ def test_quantized_decode_runs():
 def test_quantize_tensor_int4():
     w = jax.random.normal(jax.random.PRNGKey(3), (64, 32))
     qt = q.quantize_tensor(w, axis=0, bits=4)
-    # nibble-packed along the contraction axis: two int4 per uint8 byte
-    assert qt["q4"].dtype == jnp.uint8 and qt["q4"].shape == (32, 32)
+    # kernels store contraction-last, nibble-packed: [N, K/2] uint8
+    assert qt["q4t"].dtype == jnp.uint8 and qt["q4t"].shape == (32, 32)
     assert qt["scale"].shape == (32,)
+    # matmul path contracts against the packed layout without transposing
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 64), jnp.float32)
+    rel = (np.abs(np.asarray(q.matmul(x, qt)) - np.asarray(x @ w)).mean()
+           / np.abs(np.asarray(x @ w)).mean())
+    assert rel < 0.15, rel  # per-channel int4 on gaussian weights
     deq = q.dequantize(qt, jnp.float32)
     assert deq.shape == w.shape
     err = np.abs(np.asarray(deq) - np.asarray(w)).max(axis=0)
@@ -94,7 +99,7 @@ def test_int4_model_generate():
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     q4 = q.quantize_llama_params(params, bits=4)
     # layer kernels packed int4; embedding/head keep an int8 floor
-    assert "q4" in q4["layers"]["attn"]["wq"]["kernel"]
+    assert "q4t" in q4["layers"]["attn"]["wq"]["kernel"]
     assert q4["embed"]["embedding"]["q"].dtype == jnp.int8
     q4e = q.quantize_llama_params(params, bits=4, embed_bits=4)
     assert "q4" in q4e["embed"]["embedding"]

@@ -254,10 +254,12 @@ def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
         return jax.lax.slice_in_dim(emb, lo, lo + size, axis=0)
     k = params["lm_head"]["kernel"]
     if is_quantized(k):
-        # out-channel (vocab) axis is last for payload and scale; int4 packs
-        # the contraction axis, so the last axis again slices directly
+        # vocab axis: last for int8 payload/scale; FIRST for "q4t" (packed
+        # kernels store contraction-last, so [V, D/2])
         return {
-            key: jax.lax.slice_in_dim(v, lo, lo + size, axis=v.ndim - 1)
+            key: jax.lax.slice_in_dim(
+                v, lo, lo + size, axis=0 if key == "q4t" else v.ndim - 1
+            )
             for key, v in k.items()
         }
     return jax.lax.slice_in_dim(k, lo, lo + size, axis=k.ndim - 1)

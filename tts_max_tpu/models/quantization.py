@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,14 +25,18 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     Leading batch dims (e.g. the stacked-layer L of [L, in, out] kernels)
     keep their own scales so lax.scan can slice layer by layer.
 
-    ``bits=4`` stores NIBBLE-PACKED uint8 (two int4 values per byte, packed
-    along ``axis``, key "q4"): half the int8 HBM read — measured 36% faster
-    per decode-scan step at llama-1B geometry on a v5e despite the unpack
-    work (BENCHMARKS.md). Packed bytes rather than jnp.int4 because S4
-    arrays crossing a jit boundary hit a device_put layout recursion on the
-    axon TPU platform (CLAUDE.md); uint8 payloads are inert everywhere and
-    unpack inside the consuming program. ``axis`` length must be even.
-    Per-channel int4 is coarse; check top-1 agreement before serving.
+    ``bits=4`` stores NIBBLE-PACKED uint8 (two two's-complement int4 values
+    per byte, contraction axis packed LAST): half the int8 HBM read —
+    measured 36% faster per decode-scan step at llama-1B geometry on a v5e.
+    Packed bytes rather than resident jnp.int4 arrays because S4 arrays
+    crossing a jit boundary hit a device_put layout recursion on the axon
+    TPU platform (CLAUDE.md); inside the consuming program the bytes
+    bitcast straight to S4 (``unpack_q4``), which XLA fuses into the matmul
+    like a native int4 weight. Keys: "q4" when ``axis`` is already last
+    (embeddings [V, D] → [V, D/2]); "q4t" when ``axis`` is second-to-last
+    (kernels [.., K, N] stored contraction-last as [.., N, K/2]). ``axis``
+    length must be even. Per-channel int4 is coarse; check top-1 agreement
+    before serving.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -45,50 +50,43 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     axis = axis % w.ndim
     if w.shape[axis] % 2:
         raise ValueError(f"int4 packing needs even length along axis {axis}")
-    u = (q + 8.0).astype(jnp.uint8)  # [1, 15]
-    lo = jnp.take(u, jnp.arange(0, w.shape[axis], 2), axis=axis)
-    hi = jnp.take(u, jnp.arange(1, w.shape[axis], 2), axis=axis)
-    return {"q4": lo | (hi << 4), "scale": sq_scale}
+    if axis == w.ndim - 1:
+        key = "q4"
+    elif axis == w.ndim - 2:
+        key = "q4t"
+        q = jnp.swapaxes(q, -1, -2)  # contraction last
+    else:
+        raise ValueError("int4 packing supports only the last two axes")
+    u = (q.astype(jnp.int8) & 0xF).astype(jnp.uint8)  # two's-complement nibble
+    return {key: u[..., 0::2] | (u[..., 1::2] << 4), "scale": sq_scale}
 
 
-def unpack_q4(q4: jnp.ndarray, axis: int, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Packed uint8 [..., K/2, ...] -> values [..., K, ...] in ``dtype``."""
-    axis = axis % q4.ndim
-    lo = (q4 & 0xF).astype(jnp.int8) - 8
-    hi = (q4 >> 4).astype(jnp.int8) - 8
-    stacked = jnp.stack([lo, hi], axis=axis + 1)  # [..., K/2, 2, ...]
-    shape = list(q4.shape)
-    shape[axis] *= 2
-    return stacked.reshape(shape).astype(dtype)
+def unpack_q4(q4: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Packed uint8 [..., K/2] -> values [..., K] in ``dtype`` via a bitcast
+    to S4 (low nibble first) — fuses into the consuming matmul on TPU."""
+    v = jax.lax.bitcast_convert_type(q4, jnp.int4)  # [..., K/2, 2]
+    return v.reshape(*q4.shape[:-1], -1).astype(dtype)
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and (
-        set(p) >= {"q", "scale"} or set(p) >= {"q4", "scale"}
+    return isinstance(p, dict) and "scale" in p and (
+        "q" in p or "q4" in p or "q4t" in p
     )
 
 
 def is_packed4(p) -> bool:
-    return isinstance(p, dict) and "q4" in p
-
-
-def _q_values(p, dtype=jnp.float32) -> jnp.ndarray:
-    """Integer payload as ``dtype`` (unpacking int4 if needed).
-
-    Packed kernels pack the contraction (second-to-last) axis; packed
-    embeddings pack the feature (last) axis — disambiguated the same way as
-    the scale broadcast below: a kernel's per-out-channel scale matches the
-    PACKED last dim, an embedding's per-row scale does not.
-    """
-    if not is_packed4(p):
-        return p["q"].astype(dtype)
-    axis = -2 if p["q4"].shape[-1] == p["scale"].shape[-1] else -1
-    return unpack_q4(p["q4"], axis, dtype)
+    return isinstance(p, dict) and ("q4" in p or "q4t" in p)
 
 
 def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     scale = p["scale"]
-    q = _q_values(p)
+    if "q4t" in p:  # kernel stored contraction-last: restore [.., K, N]
+        q = jnp.swapaxes(unpack_q4(p["q4t"], jnp.float32), -1, -2)
+        return (q * scale[..., None, :]).astype(dtype)
+    if "q4" in p:  # embedding rows: per-row scale
+        q = unpack_q4(p["q4"], jnp.float32)
+        return (q * scale[..., None]).astype(dtype)
+    q = p["q"].astype(jnp.float32)
     # broadcast scale over the channel (last for kernels, first for embeddings)
     if q.shape[-1] == scale.shape[-1]:
         return (q * scale).astype(dtype)
@@ -147,17 +145,23 @@ def quantize_for_serving(params: Any, mode: str) -> Any:
 def matmul(x: jnp.ndarray, p, dtype=None) -> jnp.ndarray:
     """x @ kernel supporting plain arrays and quantized kernels."""
     dtype = dtype or x.dtype
+    if isinstance(p, dict) and "q4t" in p:
+        # [.., N, K/2] packed: contract x's last axis against the unpacked
+        # last axis — no transpose of the weight materializes
+        w = unpack_q4(p["q4t"], dtype)  # [.., N, K]
+        y = jnp.einsum("...k,nk->...n", x, w)
+        return y * p["scale"].astype(dtype)
     if is_quantized(p):
-        y = x @ _q_values(p, dtype)
+        y = x @ p["q"].astype(dtype)
         return y * p["scale"].astype(dtype)
     return x @ p.astype(dtype)
 
 
 def embed_lookup(emb, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     if is_quantized(emb):
-        if is_packed4(emb):
+        if "q4" in emb:
             # gather packed rows, then unpack along the feature axis
-            rows = unpack_q4(emb["q4"][tokens], -1, dtype)
+            rows = unpack_q4(emb["q4"][tokens], dtype)
         else:
             rows = emb["q"][tokens].astype(dtype)
         return rows * emb["scale"][tokens][..., None].astype(dtype)
@@ -167,7 +171,11 @@ def embed_lookup(emb, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 def tied_logits(h: jnp.ndarray, emb) -> jnp.ndarray:
     """h @ embedding.T for plain or quantized embeddings (row scales become
     output-channel scales)."""
+    if isinstance(emb, dict) and "q4" in emb:
+        w = unpack_q4(emb["q4"], h.dtype)  # [V, D]
+        logits = jnp.einsum("...d,vd->...v", h, w)
+        return (logits * emb["scale"].astype(h.dtype)).astype(jnp.float32)
     if is_quantized(emb):
-        logits = h @ _q_values(emb, h.dtype).T
+        logits = h @ emb["q"].astype(h.dtype).T
         return (logits * emb["scale"].astype(h.dtype)).astype(jnp.float32)
     return (h @ emb.astype(h.dtype).T).astype(jnp.float32)
