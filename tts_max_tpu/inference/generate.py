@@ -55,7 +55,10 @@ def _init_state(params, cfg, prompt_tokens, prompt_lengths, rng, *,
     With ``vocab_window=(lo, size)`` the logits and penalty-count buffers
     live in window space [B, size] (tokens stored in ``out`` stay global).
     """
+    from tts_max_tpu.models.quantization import unpack_packed_params
+
     b, s = prompt_tokens.shape
+    params = unpack_packed_params(params)  # int4: one in-program S4 copy
     head = (
         llama.slice_logits_head(params, cfg, *vocab_window)
         if vocab_window else None
@@ -148,7 +151,10 @@ def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
     size-``size`` cache is size - s (the caller passes the min with
     max_new_tokens). ``limit`` may be a traced scalar (host-staged path).
     """
+    from tts_max_tpu.models.quantization import unpack_packed_params
+
     b = state[3].shape[0]
+    params = unpack_packed_params(params)  # int4: one S4 copy per stage
     state = (state[0], llama.grow_cache(state[1], size)) + state[2:]
     body = _make_body(params, cfg, sp, eos_id, pad_id, b, vocab_window,
                       min_new_tokens)

@@ -66,6 +66,10 @@ def speculative_generate(
     """
     if target_cfg.vocab_size != draft_cfg.vocab_size:
         raise ValueError("draft and target must share the vocabulary")
+    from tts_max_tpu.models.quantization import unpack_packed_params
+
+    target_params = unpack_packed_params(target_params)
+    draft_params = unpack_packed_params(draft_params)
     b, s = prompt_tokens.shape
     lo, v = vocab_window if vocab_window else (0, target_cfg.vocab_size)
     eos_w = eos_id - lo  # never matches a window id when eos is outside

@@ -63,9 +63,42 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
 
 def unpack_q4(q4: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Packed uint8 [..., K/2] -> values [..., K] in ``dtype`` via a bitcast
-    to S4 (low nibble first) — fuses into the consuming matmul on TPU."""
+    to S4 (low nibble first)."""
     v = jax.lax.bitcast_convert_type(q4, jnp.int4)  # [..., K/2, 2]
     return v.reshape(*q4.shape[:-1], -1).astype(dtype)
+
+
+def unpack_packed_params(tree: Any) -> Any:
+    """Convert every nibble-packed leaf dict to an in-program S4 array dict
+    ({"q": int4, "scale"}) the standard quantized compute paths consume.
+
+    Call this AT THE TOP of a jitted many-step program (generate / a
+    host-staged stage): the S4 copies materialize once in HBM and every
+    decode step then reads int4-density weights — the measured +36% over
+    int8. (Bitcast-per-matmul does NOT fuse on this toolchain, and resident
+    S4 arrays cannot cross jit boundaries on the axon platform, so packed
+    uint8 at rest + one in-program conversion is the only fast layout.)
+    Idempotent for non-packed leaves.
+    """
+
+    def walk(p):
+        if isinstance(p, dict):
+            if "q4t" in p:  # kernel stored [.., N, K/2] -> S4 [.., K, N]
+                v = jax.lax.bitcast_convert_type(p["q4t"], jnp.int4)
+                v = v.reshape(*p["q4t"].shape[:-1], -1)  # [.., N, K]
+                return {"q": jnp.swapaxes(v, -1, -2), "scale": p["scale"]}
+            if "q4" in p:  # embedding rows [V, D/2] -> S4 [V, D]
+                v = jax.lax.bitcast_convert_type(p["q4"], jnp.int4)
+                return {
+                    "q": v.reshape(*p["q4"].shape[:-1], -1),
+                    "scale": p["scale"],
+                }
+            return {k: walk(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [walk(v) for v in p]
+        return p
+
+    return walk(tree)
 
 
 def is_quantized(p) -> bool:
