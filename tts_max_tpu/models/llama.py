@@ -254,11 +254,12 @@ def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
         return jax.lax.slice_in_dim(emb, lo, lo + size, axis=0)
     k = params["lm_head"]["kernel"]
     if is_quantized(k):
-        # vocab axis: last for int8 payload/scale; FIRST for "q4t" (packed
-        # kernels store contraction-last, so [V, D/2])
+        # vocab axis: last for int8 payload/scale; FIRST for the
+        # contraction-last layouts ("q4t" packed bytes / "qt" S4 view)
         return {
             key: jax.lax.slice_in_dim(
-                v, lo, lo + size, axis=0 if key == "q4t" else v.ndim - 1
+                v, lo, lo + size,
+                axis=0 if key in ("q4t", "qt") else v.ndim - 1,
             )
             for key, v in k.items()
         }

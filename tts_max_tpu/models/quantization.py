@@ -83,10 +83,15 @@ def unpack_packed_params(tree: Any) -> Any:
 
     def walk(p):
         if isinstance(p, dict):
-            if "q4t" in p:  # kernel stored [.., N, K/2] -> S4 [.., K, N]
+            if "q4t" in p:  # kernel stored [.., N, K/2] -> S4 [.., N, K]
+                # stays contraction-LAST ("qt"): transposing an S4 array
+                # produces a layout the per-step matmul pays for every
+                # iteration; dot_general contracts either orientation
                 v = jax.lax.bitcast_convert_type(p["q4t"], jnp.int4)
-                v = v.reshape(*p["q4t"].shape[:-1], -1)  # [.., N, K]
-                return {"q": jnp.swapaxes(v, -1, -2), "scale": p["scale"]}
+                return {
+                    "qt": v.reshape(*p["q4t"].shape[:-1], -1),
+                    "scale": p["scale"],
+                }
             if "q4" in p:  # embedding rows [V, D/2] -> S4 [V, D]
                 v = jax.lax.bitcast_convert_type(p["q4"], jnp.int4)
                 return {
@@ -103,7 +108,7 @@ def unpack_packed_params(tree: Any) -> Any:
 
 def is_quantized(p) -> bool:
     return isinstance(p, dict) and "scale" in p and (
-        "q" in p or "q4" in p or "q4t" in p
+        "q" in p or "qt" in p or "q4" in p or "q4t" in p
     )
 
 
@@ -119,6 +124,9 @@ def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     if "q4" in p:  # embedding rows: per-row scale
         q = unpack_q4(p["q4"], jnp.float32)
         return (q * scale[..., None]).astype(dtype)
+    if "qt" in p:  # in-program S4 view, contraction-last
+        q = jnp.swapaxes(p["qt"].astype(jnp.float32), -1, -2)
+        return (q * scale[..., None, :]).astype(dtype)
     q = p["q"].astype(jnp.float32)
     # broadcast scale over the channel (last for kernels, first for embeddings)
     if q.shape[-1] == scale.shape[-1]:
@@ -176,12 +184,12 @@ def quantize_for_serving(params: Any, mode: str) -> Any:
 
 
 def matmul(x: jnp.ndarray, p, dtype=None) -> jnp.ndarray:
-    """x @ kernel supporting plain arrays and quantized kernels."""
+    """x @ kernel supporting plain arrays and quantized kernels ("q" [K, N],
+    "qt"/"q4t" contraction-last [N, K] — S4 view / packed bytes)."""
     dtype = dtype or x.dtype
-    if isinstance(p, dict) and "q4t" in p:
-        # [.., N, K/2] packed: contract x's last axis against the unpacked
-        # last axis — no transpose of the weight materializes
-        w = unpack_q4(p["q4t"], dtype)  # [.., N, K]
+    if isinstance(p, dict) and ("q4t" in p or "qt" in p):
+        w = (unpack_q4(p["q4t"], dtype) if "q4t" in p
+             else p["qt"].astype(dtype))  # [N, K]
         y = jnp.einsum("...k,nk->...n", x, w)
         return y * p["scale"].astype(dtype)
     if is_quantized(p):
