@@ -63,8 +63,8 @@ def test_quantized_decode_runs():
 def test_quantize_tensor_int4():
     w = jax.random.normal(jax.random.PRNGKey(3), (64, 32))
     qt = q.quantize_tensor(w, axis=0, bits=4)
-    # kernels store contraction-last, nibble-packed: [N, K/2] uint8
-    assert qt["q4t"].dtype == jnp.uint8 and qt["q4t"].shape == (32, 32)
+    # nibble pairs packed along the LAST axis, natural orientation: [K, N/2]
+    assert qt["q4"].dtype == jnp.uint8 and qt["q4"].shape == (64, 16)
     assert qt["scale"].shape == (32,)
     # matmul path contracts against the packed layout without transposing
     x = jax.random.normal(jax.random.PRNGKey(9), (4, 64), jnp.float32)
@@ -86,7 +86,15 @@ def test_quantize_tensor_int4():
     with pytest.raises(ValueError):
         q.quantize_tensor(w, axis=0, bits=3)
     with pytest.raises(ValueError):
-        q.quantize_tensor(jnp.ones((63, 4)), axis=0, bits=4)  # odd K
+        q.quantize_tensor(jnp.ones((4, 63)), axis=0, bits=4)  # odd last axis
+
+    # the in-program S4 view restores natural orientation and exact values
+    s4 = q.unpack_packed_params(qt)
+    assert s4["q"].shape == (64, 32) and s4["q"].dtype == jnp.int4
+    np.testing.assert_allclose(
+        np.asarray(q.dequantize(s4, jnp.float32)),
+        np.asarray(q.dequantize(qt, jnp.float32)),
+    )
 
 
 def test_int4_model_generate():
@@ -99,7 +107,7 @@ def test_int4_model_generate():
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     q4 = q.quantize_llama_params(params, bits=4)
     # layer kernels packed int4; embedding/head keep an int8 floor
-    assert "q4t" in q4["layers"]["attn"]["wq"]["kernel"]
+    assert "q4" in q4["layers"]["attn"]["wq"]["kernel"]
     assert q4["embed"]["embedding"]["q"].dtype == jnp.int8
     q4e = q.quantize_llama_params(params, bits=4, embed_bits=4)
     assert "q4" in q4e["embed"]["embedding"]

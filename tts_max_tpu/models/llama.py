@@ -254,15 +254,17 @@ def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
         return jax.lax.slice_in_dim(emb, lo, lo + size, axis=0)
     k = params["lm_head"]["kernel"]
     if is_quantized(k):
-        # vocab axis: last for int8 payload/scale; FIRST for the
-        # contraction-last layouts ("q4t" packed bytes / "qt" S4 view)
-        return {
-            key: jax.lax.slice_in_dim(
-                v, lo, lo + size,
-                axis=0 if key in ("q4t", "qt") else v.ndim - 1,
-            )
-            for key, v in k.items()
-        }
+        out = {}
+        for key, v in k.items():
+            a, b = lo, lo + size
+            if key == "q4":  # [D, V/2]: vocab pairs packed along last axis
+                if lo % 2 or size % 2:
+                    raise ValueError(
+                        "int4 lm_head window bounds must be even"
+                    )
+                a, b = lo // 2, (lo + size) // 2
+            out[key] = jax.lax.slice_in_dim(v, a, b, axis=v.ndim - 1)
+        return out
     return jax.lax.slice_in_dim(k, lo, lo + size, axis=k.ndim - 1)
 
 

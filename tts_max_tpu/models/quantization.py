@@ -26,17 +26,17 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     keep their own scales so lax.scan can slice layer by layer.
 
     ``bits=4`` stores NIBBLE-PACKED uint8 (two two's-complement int4 values
-    per byte, contraction axis packed LAST): half the int8 HBM read —
-    measured 36% faster per decode-scan step at llama-1B geometry on a v5e.
-    Packed bytes rather than resident jnp.int4 arrays because S4 arrays
-    crossing a jit boundary hit a device_put layout recursion on the axon
-    TPU platform (CLAUDE.md); inside the consuming program the bytes
-    bitcast straight to S4 (``unpack_q4``), which XLA fuses into the matmul
-    like a native int4 weight. Keys: "q4" when ``axis`` is already last
-    (embeddings [V, D] → [V, D/2]); "q4t" when ``axis`` is second-to-last
-    (kernels [.., K, N] stored contraction-last as [.., N, K/2]). ``axis``
-    length must be even. Per-channel int4 is coarse; check top-1 agreement
-    before serving.
+    per byte, key "q4", adjacent pairs packed along the LAST axis of the
+    tensor IN ITS NATURAL ORIENTATION): half the int8 HBM read — measured
+    36% faster per decode-scan step at llama-1B geometry on a v5e. Packed
+    bytes rather than resident jnp.int4 arrays because S4 arrays crossing a
+    jit boundary hit a device_put layout recursion on the axon TPU platform
+    (CLAUDE.md). Inside a many-step program, ``unpack_packed_params`` turns
+    the bytes into a natural-layout S4 array via ONE bitcast+reshape (the
+    pair axis bitcast appends is the last axis, which is why packing must be
+    along it — any other arrangement needs an S4 transpose, and transposed
+    S4 layouts poison every subsequent matmul). The tensor's last axis must
+    be even. Per-channel int4 is coarse; check top-1 agreement first.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -47,18 +47,10 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     sq_scale = jnp.squeeze(scale, axis=axis).astype(jnp.float32)
     if bits == 8:
         return {"q": q.astype(jnp.int8), "scale": sq_scale}
-    axis = axis % w.ndim
-    if w.shape[axis] % 2:
-        raise ValueError(f"int4 packing needs even length along axis {axis}")
-    if axis == w.ndim - 1:
-        key = "q4"
-    elif axis == w.ndim - 2:
-        key = "q4t"
-        q = jnp.swapaxes(q, -1, -2)  # contraction last
-    else:
-        raise ValueError("int4 packing supports only the last two axes")
+    if w.shape[-1] % 2:
+        raise ValueError("int4 packing needs an even last axis")
     u = (q.astype(jnp.int8) & 0xF).astype(jnp.uint8)  # two's-complement nibble
-    return {key: u[..., 0::2] | (u[..., 1::2] << 4), "scale": sq_scale}
+    return {"q4": u[..., 0::2] | (u[..., 1::2] << 4), "scale": sq_scale}
 
 
 def unpack_q4(q4: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -83,16 +75,7 @@ def unpack_packed_params(tree: Any) -> Any:
 
     def walk(p):
         if isinstance(p, dict):
-            if "q4t" in p:  # kernel stored [.., N, K/2] -> S4 [.., N, K]
-                # stays contraction-LAST ("qt"): transposing an S4 array
-                # produces a layout the per-step matmul pays for every
-                # iteration; dot_general contracts either orientation
-                v = jax.lax.bitcast_convert_type(p["q4t"], jnp.int4)
-                return {
-                    "qt": v.reshape(*p["q4t"].shape[:-1], -1),
-                    "scale": p["scale"],
-                }
-            if "q4" in p:  # embedding rows [V, D/2] -> S4 [V, D]
+            if "q4" in p:  # [.., X/2] packed-last -> natural S4 [.., X]
                 v = jax.lax.bitcast_convert_type(p["q4"], jnp.int4)
                 return {
                     "q": v.reshape(*p["q4"].shape[:-1], -1),
@@ -107,27 +90,18 @@ def unpack_packed_params(tree: Any) -> Any:
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and "scale" in p and (
-        "q" in p or "qt" in p or "q4" in p or "q4t" in p
-    )
+    return isinstance(p, dict) and "scale" in p and ("q" in p or "q4" in p)
 
 
 def is_packed4(p) -> bool:
-    return isinstance(p, dict) and ("q4" in p or "q4t" in p)
+    return isinstance(p, dict) and "q4" in p
 
 
 def dequantize(p: dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     scale = p["scale"]
-    if "q4t" in p:  # kernel stored contraction-last: restore [.., K, N]
-        q = jnp.swapaxes(unpack_q4(p["q4t"], jnp.float32), -1, -2)
-        return (q * scale[..., None, :]).astype(dtype)
-    if "q4" in p:  # embedding rows: per-row scale
-        q = unpack_q4(p["q4"], jnp.float32)
-        return (q * scale[..., None]).astype(dtype)
-    if "qt" in p:  # in-program S4 view, contraction-last
-        q = jnp.swapaxes(p["qt"].astype(jnp.float32), -1, -2)
-        return (q * scale[..., None, :]).astype(dtype)
-    q = p["q"].astype(jnp.float32)
+    q = unpack_q4(p["q4"], jnp.float32) if "q4" in p else p["q"].astype(
+        jnp.float32
+    )
     # broadcast scale over the channel (last for kernels, first for embeddings)
     if q.shape[-1] == scale.shape[-1]:
         return (q * scale).astype(dtype)
@@ -184,16 +158,12 @@ def quantize_for_serving(params: Any, mode: str) -> Any:
 
 
 def matmul(x: jnp.ndarray, p, dtype=None) -> jnp.ndarray:
-    """x @ kernel supporting plain arrays and quantized kernels ("q" [K, N],
-    "qt"/"q4t" contraction-last [N, K] — S4 view / packed bytes)."""
+    """x @ kernel supporting plain arrays and quantized kernels ("q" int8/S4
+    or "q4" packed bytes, both natural [K, N] orientation)."""
     dtype = dtype or x.dtype
-    if isinstance(p, dict) and ("q4t" in p or "qt" in p):
-        w = (unpack_q4(p["q4t"], dtype) if "q4t" in p
-             else p["qt"].astype(dtype))  # [N, K]
-        y = jnp.einsum("...k,nk->...n", x, w)
-        return y * p["scale"].astype(dtype)
     if is_quantized(p):
-        y = x @ p["q"].astype(dtype)
+        w = unpack_q4(p["q4"], dtype) if "q4" in p else p["q"].astype(dtype)
+        y = x @ w
         return y * p["scale"].astype(dtype)
     return x @ p.astype(dtype)
 
