@@ -77,8 +77,12 @@ def unpack_packed_params(tree: Any) -> Any:
         if isinstance(p, dict):
             if "q4" in p:  # [.., X/2] packed-last -> natural S4 [.., X]
                 v = jax.lax.bitcast_convert_type(p["q4"], jnp.int4)
+                v = v.reshape(*p["q4"].shape[:-1], -1)
+                # the barrier forces ONE materialized S4 buffer; without it
+                # XLA re-derives from the packed bytes inside every loop
+                # iteration (measured 2.31 vs 0.30 ms/step at 1B geometry)
                 return {
-                    "q": v.reshape(*p["q4"].shape[:-1], -1),
+                    "q": jax.lax.optimization_barrier(v),
                     "scale": p["scale"],
                 }
             return {k: walk(v) for k, v in p.items()}
