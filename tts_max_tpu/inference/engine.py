@@ -108,6 +108,23 @@ class InferenceEngine:
             sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
         )
 
+        from tts_max_tpu.models.quantization import is_packed4
+
+        if any(
+            is_packed4(leaf)
+            for leaf in jax.tree_util.tree_leaves(
+                params, is_leaf=is_packed4
+            )
+        ):
+            import warnings
+
+            warnings.warn(
+                "packed int4 params in the step-dispatched engine unpack on "
+                "EVERY decode step (the S4 view cannot persist across jit "
+                "boundaries on this platform) — prefer int8 here; int4 is "
+                "fast in the single-program generate/synthesize paths",
+                stacklevel=2,
+            )
         self._slots = [_Slot() for _ in range(max_batch)]
         self._queue: collections.deque[Request] = collections.deque()
         self._finished: list[Completion] = []
