@@ -104,3 +104,27 @@ def test_training_loss_matches_torch(hf_model_dir):
     )
     assert int(toks) == 5
     np.testing.assert_allclose(float(ours), ref, rtol=1e-4)
+
+
+def test_quantized_serving_dir_roundtrip(tmp_path):
+    """convert_checkpoint --quantize writes a pre-quantized dir that
+    load_serving_model restores exactly (payload + scales), int8 and packed
+    int4 alike."""
+    from tts_max_tpu.models import quantization as q
+
+    cfg = llama.tiny_config(vocab_size=256, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    for mode, bits in (("int8", 8), ("int4", 4)):
+        qp = q.quantize_llama_params(params, bits=bits)
+        d = str(tmp_path / f"q{bits}")
+        hf_import.save_quantized_dir(jax.device_get(qp), cfg, d, bits)
+        assert hf_import.is_quantized_dir(d)
+        loaded, lcfg = hf_import.load_serving_model(d)
+        assert lcfg == cfg
+        for a, b in zip(jax.tree_util.tree_leaves(qp),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # loaded params drive a forward pass
+        toks = jnp.zeros((1, 8), jnp.int32)
+        out = llama.forward(loaded, lcfg, toks)
+        assert np.isfinite(np.asarray(out)).all()

@@ -49,6 +49,12 @@ def main(argv=None):
     parser.add_argument("--lora_adapter", default="")
     parser.add_argument("--lora_r", type=int, default=16)
     parser.add_argument("--lora_alpha", type=int, default=32)
+    parser.add_argument("--quantize", nargs="?", const="int8", default="",
+                        choices=["", "int8", "int4"],
+                        help="also write a pre-quantized serving dir "
+                             "(<output_dir>/quantized-<mode>): 2x/4x "
+                             "smaller artifact + load, no startup "
+                             "quantization pass")
     args = parser.parse_args(argv)
     setup_logging(0)
 
@@ -79,6 +85,19 @@ def main(argv=None):
     eos_id = int(tokenizer.convert_tokens_to_ids(constants.SPEECH_END_TOKEN))
     hf_import.save_model_to_hf_dir(params, cfg, args.output_dir, eos_token_id=eos_id)
     log.info("Serving model written to %s (eos=%d)", args.output_dir, eos_id)
+
+    if args.quantize:
+        from tts_max_tpu.models import quantization
+
+        bits = 4 if args.quantize == "int4" else 8
+        qdir = os.path.join(args.output_dir, f"quantized-{args.quantize}")
+        qparams = jax.jit(
+            lambda p: quantization.quantize_llama_params(p, bits=bits)
+        )(params)
+        hf_import.save_quantized_dir(
+            jax.device_get(qparams), cfg, qdir, bits
+        )
+        log.info("Quantized serving dir written to %s", qdir)
 
 
 if __name__ == "__main__":

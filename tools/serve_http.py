@@ -219,8 +219,11 @@ def build_server(args) -> TtsServer:
 
     tokenizer = build_byte_tokenizer()
     sv = speech_vocab(tokenizer)
-    params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+    params, cfg = hf_import.load_serving_model(args.model_dir)
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    if args.quantize and hf_import.is_quantized_dir(args.model_dir):
+        log.warning("model dir is pre-quantized; ignoring --quantize")
+        args.quantize = ""
     if args.quantize:
         from tts_max_tpu.models import quantization
 

@@ -82,8 +82,11 @@ def main(argv=None):
 
     tokenizer = build_byte_tokenizer()
     sv = speech_vocab(tokenizer)
-    params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+    params, cfg = hf_import.load_serving_model(args.model_dir)
     log.info("Loaded model from %s (vocab %d)", args.model_dir, cfg.vocab_size)
+    if args.quantize and hf_import.is_quantized_dir(args.model_dir):
+        log.warning("model dir is pre-quantized; ignoring --quantize")
+        args.quantize = ""
     if args.quantize:
         from tts_max_tpu.models import quantization
 
