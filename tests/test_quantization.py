@@ -73,16 +73,22 @@ def test_quantize_tensor_int4():
     assert rel < 0.15, rel  # per-channel int4 on gaussian weights
     deq = q.dequantize(qt, jnp.float32)
     assert deq.shape == w.shape
-    err = np.abs(np.asarray(deq) - np.asarray(w)).max(axis=0)
-    amax = np.abs(np.asarray(w)).max(axis=0)
-    assert (err <= amax / 7.0 + 1e-6).all()
+    # clip-searched int4: per-channel MSE must beat (or match) plain abs-max
+    amax = np.abs(np.asarray(w)).max(axis=0, keepdims=True)
+    s = np.maximum(amax / 7.0, 1e-12)
+    naive = np.clip(np.round(np.asarray(w) / s), -7, 7) * s
+    mse = ((np.asarray(deq) - np.asarray(w)) ** 2).sum(axis=0)
+    naive_mse = ((naive - np.asarray(w)) ** 2).sum(axis=0)
+    assert (mse <= naive_mse + 1e-9).all()
     # per-row embedding orientation packs the feature axis
     qe = q.quantize_tensor(w, axis=1, bits=4)
     assert qe["q4"].shape == (64, 16) and qe["scale"].shape == (64,)
     deq_e = q.dequantize(qe, jnp.float32)
-    err = np.abs(np.asarray(deq_e) - np.asarray(w)).max(axis=1)
-    amax = np.abs(np.asarray(w)).max(axis=1)
-    assert (err <= amax / 7.0 + 1e-6).all()
+    amax_r = np.abs(np.asarray(w)).max(axis=1, keepdims=True)
+    s_r = np.maximum(amax_r / 7.0, 1e-12)
+    naive_r = np.clip(np.round(np.asarray(w) / s_r), -7, 7) * s_r
+    mse_r = ((np.asarray(deq_e) - np.asarray(w)) ** 2).sum(axis=1)
+    assert (mse_r <= ((naive_r - np.asarray(w)) ** 2).sum(axis=1) + 1e-9).all()
     with pytest.raises(ValueError):
         q.quantize_tensor(w, axis=0, bits=3)
     with pytest.raises(ValueError):

@@ -41,9 +41,26 @@ def quantize_tensor(w: jnp.ndarray, axis: int, bits: int = 8) -> dict[str, jnp.n
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     qmax = 7.0 if bits == 4 else 127.0
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=axis, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-12)
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax, qmax)
+    if bits == 4:
+        # per-channel clip search: abs-max scaling wastes int4's 15 levels
+        # on outliers; picking the min-MSE clip ratio per channel costs
+        # nothing at runtime and measurably improves top-1 agreement
+        best_err = None
+        best_scale = scale
+        for ratio in (1.0, 0.9, 0.8, 0.7, 0.6):
+            s = jnp.maximum(amax * ratio / qmax, 1e-12)
+            deq = jnp.clip(jnp.round(w32 / s), -qmax, qmax) * s
+            err = jnp.sum((deq - w32) ** 2, axis=axis, keepdims=True)
+            if best_err is None:
+                best_err, best_scale = err, s
+            else:
+                best_scale = jnp.where(err < best_err, s, best_scale)
+                best_err = jnp.minimum(err, best_err)
+        scale = best_scale
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax)
     sq_scale = jnp.squeeze(scale, axis=axis).astype(jnp.float32)
     if bits == 8:
         return {"q": q.astype(jnp.int8), "scale": sq_scale}
