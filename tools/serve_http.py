@@ -85,13 +85,20 @@ class TtsServer:
 
     def _run(self):
         while not self._stop:
-            with self._lock:
-                work = self.engine.has_work()
-                done = self.engine.step() if work else []
+            try:
+                with self._lock:
+                    work = self.engine.has_work()
+                    done = self.engine.step() if work else []
+            except Exception:
+                # keep serving: a failed step (e.g. a transient device
+                # error) must not silently kill the only worker thread
+                log.exception("engine step failed; worker continues")
+                time.sleep(0.1)
+                continue
             for c in done:
-                self._results[c.request_id] = c
                 ev = self._events.pop(c.request_id, None)
-                if ev:
+                if ev:  # nobody waits after a timeout/cancel: drop result
+                    self._results[c.request_id] = c
                     ev.set()
             if not work:
                 time.sleep(0.005)
@@ -125,13 +132,7 @@ class TtsServer:
                 f"prompt is {len(input_ids)} tokens; no budget within "
                 f"max_len {self.max_len}"
             )
-        sampling = None
-        if any(k in body for k in _SAMPLING_KEYS):
-            d = SamplingParams()
-            sampling = SamplingParams(**{
-                **{k: getattr(d, k) for k in _SAMPLING_KEYS},
-                **{k: body[k] for k in _SAMPLING_KEYS if k in body},
-            })
+        sampling = sampling_from_overrides(body, SamplingParams())
         ev = threading.Event()
         with self._lock:
             self._seed += 1
@@ -142,12 +143,18 @@ class TtsServer:
             )
             self._events[rid] = ev
         if not ev.wait(timeout):
+            # free the slot/KV blocks and make sure no result leaks
+            with self._lock:
+                self.engine.cancel(rid)
+                self._events.pop(rid, None)
+                self._results.pop(rid, None)
             raise TimeoutError("generation timed out")
         return self._results.pop(rid), speech_ids
 
     def stats(self) -> dict:
-        with self._lock:
-            return self.engine.stats()
+        # best-effort read of host-side counters; deliberately lock-free so
+        # observability never queues behind an in-flight decode dispatch
+        return self.engine.stats()
 
 
 def make_handler(server: TtsServer):
@@ -172,6 +179,8 @@ def make_handler(server: TtsServer):
 
         def do_POST(self):
             try:
+                if self.path not in ("/generate", "/synthesize"):
+                    return self._json(404, {"error": "unknown endpoint"})
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if "text" not in body:

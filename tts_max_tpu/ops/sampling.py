@@ -25,6 +25,23 @@ class SamplingParams:
     max_new_tokens: int = 1792
 
 
+_OVERRIDE_KEYS = ("temperature", "top_k", "top_p", "repetition_penalty",
+                  "frequency_penalty")
+
+
+def sampling_from_overrides(
+    overrides: dict, default: SamplingParams
+) -> SamplingParams | None:
+    """Per-request SamplingParams from a dict of optional overrides (the
+    serving CLIs' JSONL/JSON request surface). None when nothing overrides."""
+    if not any(k in overrides for k in _OVERRIDE_KEYS):
+        return None
+    return SamplingParams(**{
+        **{k: getattr(default, k) for k in _OVERRIDE_KEYS},
+        **{k: overrides[k] for k in _OVERRIDE_KEYS if k in overrides},
+    })
+
+
 def apply_repetition_penalty(
     logits: jnp.ndarray, token_counts: jnp.ndarray, penalty: float
 ) -> jnp.ndarray:
