@@ -175,3 +175,53 @@ def test_bf16_adam_mu_dtype():
     }
     new_p, _, m = ts.train_step(params, st, batch, cfg=cfg, tx=tx)
     assert np.isfinite(float(m.loss))
+
+
+def test_chunked_loss_matches_full():
+    """chunked_causal_lm_loss == causal_lm_loss in value AND gradient
+    (VERDICT r1 item 4), incl. a chunk size that doesn't divide T."""
+    cfg = llama.tiny_config(vocab_size=96, max_seq_len=40)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(0, 96, (2, 40)).astype(np.int32),
+        "labels": rng.integers(0, 96, (2, 40)).astype(np.int32),
+    }
+    batch["labels"][:, :5] = -100
+
+    for chunk in (8, 13, 64):  # divides, doesn't divide, > T
+        (l_full, n_full), g_full = jax.value_and_grad(
+            ts.loss_fn, has_aux=True)(params, cfg, batch, 0)
+        (l_chunk, n_chunk), g_chunk = jax.value_and_grad(
+            ts.loss_fn, has_aux=True)(params, cfg, batch, chunk)
+        assert int(n_full) == int(n_chunk)
+        np.testing.assert_allclose(float(l_full), float(l_chunk), rtol=1e-6)
+        # grads: chunked dW accumulates per-chunk fp32 partial sums of bf16
+        # products in a different reduction order than the single big matmul
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_chunk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+
+def test_chunked_loss_in_sharded_step(mesh8):
+    """Chunked loss works under the full GSPMD train step."""
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    from tts_max_tpu.training import optim
+
+    tx = optim.create_optimizer(1e-3)
+    with mesh8:
+        step = ts.make_train_step(mesh8, cfg, tx, params, loss_chunk_size=16)
+        step_full = ts.make_train_step(mesh8, cfg, tx, params)
+        opt_state = jax.jit(tx.init)(params)
+        batch = {
+            "input_ids": jnp.zeros((1, 8, 32), jnp.int32),
+            "labels": jnp.ones((1, 8, 32), jnp.int32),
+        }
+        opt2 = jax.jit(tx.init)(params)
+        p1, _, m1 = step(jax.tree_util.tree_map(jnp.copy, params), opt_state,
+                         batch)
+        p2, _, m2 = step_full(jax.tree_util.tree_map(jnp.copy, params), opt2,
+                              batch)
+        np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-6)

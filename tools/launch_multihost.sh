@@ -18,7 +18,10 @@ SUBCOMMAND=${1:?usage: launch_multihost.sh {train|codec|rlhf|vectorize} args...}
 shift
 
 # SLURM rendezvous (reference environment.py:16-24): derive the coordinator
-# from the first node in the job; jax.distributed picks these up.
+# from the first node in the job. NOTE: jax.distributed.initialize() does NOT
+# read these env-var names itself — tts_max_tpu.parallel.mesh
+# .initialize_distributed() reads them and passes them as ARGUMENTS
+# (coordinator_address=, num_processes=, process_id=) before any backend use.
 if [[ -n "${SLURM_JOB_ID:-}" ]]; then
   export JAX_COORDINATOR_ADDRESS="${JAX_COORDINATOR_ADDRESS:-$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1):8476}"
   export JAX_NUM_PROCESSES="${SLURM_NTASKS:-1}"

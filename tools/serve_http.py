@@ -44,7 +44,7 @@ from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
 from tts_max_tpu.data.audio_io import load_wav
 from tts_max_tpu.inference.engine import PagedInferenceEngine
 from tts_max_tpu.models import hf_import
-from tts_max_tpu.ops.sampling import SamplingParams
+from tts_max_tpu.ops.sampling import SamplingParams, sampling_from_overrides
 from tts_max_tpu.utils.logging import get_logger, setup_logging
 
 log = get_logger("serve_http")

@@ -137,6 +137,9 @@ class TrainingConfig:
     adam_mu_dtype: str = "fp32"
     num_workers: int = 1
     num_train_epochs: float = 1.0
+    # Blockwise cross-entropy: sequence-chunked loss that never materializes
+    # the full [B, S, 193856] fp32 logprobs (0 = naive full-vocab loss).
+    loss_chunk_size: int = 256
     lr_scheduler: str = "cosine"
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # Static-shape control: sequences are padded to the smallest bucket.

@@ -31,11 +31,19 @@ _WS = re.compile(r"\s+")
 
 
 class BasicTextNormalizer(TextNormalizer):
-    """NFKC + (for English) ascii transliteration + whitespace collapse."""
+    """NFKC + (for English) numeral/currency/time verbalization + ascii
+    transliteration + whitespace collapse.
+
+    The verbalization pass (data/verbalize.py) covers the NeMo capability
+    the reference relies on (text_normalization.py:53-127) so that on an
+    air-gapped image "123 dollars" never trains or serves as raw digits."""
 
     def normalize_with_language(self, text: str, language: str) -> str:
         text = unicodedata.normalize("NFKC", text)
         if language == "en":
+            from tts_max_tpu.data.verbalize import expand_en
+
+            text = expand_en(text)
             text = (
                 unicodedata.normalize("NFKD", text)
                 .encode("ascii", "ignore")

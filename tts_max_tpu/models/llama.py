@@ -268,8 +268,13 @@ def slice_logits_head(params: Params, cfg: LlamaConfig, lo: int, size: int):
     return jax.lax.slice_in_dim(k, lo, lo + size, axis=k.ndim - 1)
 
 
-def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
-    """Full-sequence causal forward: tokens [B, S] -> logits [B, S, V] (fp32)."""
+def forward_hidden(
+    params: Params, cfg: LlamaConfig, tokens: jnp.ndarray
+) -> jnp.ndarray:
+    """Causal forward through the layer stack only: tokens [B, S] -> PRE-norm
+    hidden states [B, S, D]. Callers apply ``_logits`` (which owns the final
+    rms_norm + head) — or, for training, a chunked loss that never
+    materializes the full [B, S, vocab] logits (train_step.py)."""
     cos, sin = rope_table(
         cfg.head_dim, tokens.shape[1], cfg.rope_theta, cfg.use_llama3_rope_scaling
     )
@@ -285,7 +290,12 @@ def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarra
         )
         layer_fn = jax.checkpoint(layer_fn, prevent_cse=False, policy=policy)
     h, _ = jax.lax.scan(layer_fn, h, params["layers"])
-    return _logits(h, params, cfg)
+    return h
+
+
+def forward(params: Params, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Full-sequence causal forward: tokens [B, S] -> logits [B, S, V] (fp32)."""
+    return _logits(forward_hidden(params, cfg, tokens), params, cfg)
 
 
 # --- KV-cached generation ---------------------------------------------------

@@ -57,18 +57,57 @@ class EnvironmentContext:
         )
 
 
-def initialize_distributed() -> EnvironmentContext:
-    """Multi-host rendezvous (reference environment.py:134-181 SLURM/env vars).
+_DIST_INITIALIZED = False
 
-    jax.distributed.initialize reads COORDINATOR_ADDRESS / num_processes /
-    process_id from env or from the cloud metadata service. On a single host
-    (or when already initialized) this is a no-op.
+
+def initialize_distributed() -> EnvironmentContext:
+    """Multi-host rendezvous (reference environment.py:134-224: SLURM rank
+    discovery :16-24, env-var rendezvous :157-181, fabric.launch :195-224).
+
+    MUST run before anything touches the JAX backend (``jax.devices()``,
+    ``jax.process_count()``, any array op) — backend initialization is
+    one-shot, and a process that initializes single-host first can never
+    join a multi-host job.
+
+    Rendezvous sources, in precedence order:
+
+    1. Explicit env vars (exported by ``tools/launch_multihost.sh``):
+       ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+       ``JAX_PROCESS_ID``.  jax.distributed.initialize does NOT read these
+       names from the environment itself — *we* read them here and pass them
+       as arguments.
+    2. Auto-detection: under SLURM (srun, one task per host) or on a Cloud
+       TPU pod, no-arg ``jax.distributed.initialize()`` discovers peers from
+       the SLURM env / TPU metadata service.
+    3. Neither → single-process; no distributed init at all.
     """
-    if jax.process_count() == 1 and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return EnvironmentContext.create()
+
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        if coord and nproc and int(nproc) > 1:
+            if pid is None:
+                raise ValueError(
+                    "JAX_PROCESS_ID must be set when JAX_COORDINATOR_ADDRESS/"
+                    "JAX_NUM_PROCESSES request a multi-process job"
+                )
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        elif int(os.environ.get("SLURM_NTASKS", "1")) > 1 or os.environ.get(
+            "TPU_WORKER_HOSTNAMES"
+        ):
+            jax.distributed.initialize()  # SLURM / TPU-pod auto-detection
+    except RuntimeError as e:  # pragma: no cover - double-init guard
+        if "already" not in str(e).lower():
+            raise
+    _DIST_INITIALIZED = True
     return EnvironmentContext.create()
 
 

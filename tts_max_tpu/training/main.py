@@ -161,9 +161,12 @@ def run_training(config: ExperimentConfig, args) -> None:
     opt_state = tx.init(params)
 
     step_fn = ts.make_train_step(
-        mesh, model_cfg, tx, params, tcfg.gradient_clip_value
+        mesh, model_cfg, tx, params, tcfg.gradient_clip_value,
+        loss_chunk_size=tcfg.loss_chunk_size,
     )
-    eval_fn = ts.make_eval_step(mesh, model_cfg, params)
+    eval_fn = ts.make_eval_step(
+        mesh, model_cfg, params, loss_chunk_size=tcfg.loss_chunk_size
+    )
     p_sh = params_shardings(params, mesh)
     params = jax.device_put(params, p_sh)
     opt_state = jax.device_put(

@@ -53,7 +53,69 @@ def causal_lm_loss(
     return nll.sum() / n, valid.sum()
 
 
-def loss_fn(params, cfg: llama.LlamaConfig, batch) -> tuple[jnp.ndarray, jnp.ndarray]:
+def chunked_causal_lm_loss(
+    params,
+    cfg: llama.LlamaConfig,
+    hidden: jnp.ndarray,
+    labels: jnp.ndarray,
+    chunk_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blockwise cross entropy over the 193856-token head.
+
+    The naive loss materializes [B, S, V] fp32 logprobs (≈4.8 GB at batch
+    2×2048) — that allocation, not the layer stack, is what forced full-layer
+    remat and capped single-chip MFU. Here the sequence is scanned in
+    ``chunk_size``-token chunks; each chunk computes its logits [B, C, V],
+    reduces them to fp32 ``logsumexp - target_logit`` immediately, and the
+    chunk body is ``jax.checkpoint``-ed so the backward pass recomputes chunk
+    logits instead of storing them. Peak extra memory: one [B, C, V] chunk.
+
+    Numerically identical to :func:`causal_lm_loss` (log_softmax gather ==
+    lse - target on the same fp32 logits); parity-tested in
+    tests/test_train_step.py.
+    """
+    h = hidden[:, :-1]
+    t = labels[:, 1:]
+    B, T, D = h.shape
+    C = min(chunk_size, T)
+    n_chunks = -(-T // C)
+    pad = n_chunks * C - T
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, 0), (0, pad)), constant_values=LOSS_IGNORE_TOKEN_ID)
+    h = h.reshape(B, n_chunks, C, D).transpose(1, 0, 2, 3)  # [n, B, C, D]
+    t = t.reshape(B, n_chunks, C).transpose(1, 0, 2)  # [n, B, C]
+
+    def chunk_nll(hc, tc):
+        logits = llama._logits(hc, params, cfg)  # fp32 [B, C, V]
+        valid = tc != LOSS_IGNORE_TOKEN_ID
+        safe = jnp.where(valid, tc, 0)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, lse - tgt, 0.0)
+        return nll.sum(), valid.sum()
+
+    chunk_nll = jax.checkpoint(chunk_nll, prevent_cse=False)
+
+    def body(carry, xs):
+        nll_sum, n_valid = carry
+        s, k = chunk_nll(*xs)
+        return (nll_sum + s, n_valid + k), None
+
+    (nll_sum, n_valid), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (h, t)
+    )
+    return nll_sum / jnp.maximum(n_valid, 1), n_valid
+
+
+def loss_fn(
+    params, cfg: llama.LlamaConfig, batch, loss_chunk_size: int = 0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    if loss_chunk_size > 0:
+        hidden = llama.forward_hidden(params, cfg, batch["input_ids"])
+        return chunked_causal_lm_loss(
+            params, cfg, hidden, batch["labels"], loss_chunk_size
+        )
     logits = llama.forward(params, cfg, batch["input_ids"])
     return causal_lm_loss(logits, batch["labels"])
 
@@ -66,6 +128,7 @@ def train_step(
     cfg: llama.LlamaConfig,
     tx: optax.GradientTransformation,
     gradient_clip_value: float = 1.0,
+    loss_chunk_size: int = 0,
 ):
     """One optimizer step over a macro-batch.
 
@@ -77,14 +140,15 @@ def train_step(
     if accum == 1:
         # no accumulation: skip the scan and its zero-initialized grad carry
         (loss, tok_sum), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cfg, jax.tree_util.tree_map(lambda x: x[0], batch)
+            params, cfg, jax.tree_util.tree_map(lambda x: x[0], batch),
+            loss_chunk_size,
         )
     else:
 
         def micro(carry, mb):
             grad_sum, loss_sum, tok_sum = carry
             (loss, toks), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cfg, mb
+                params, cfg, mb, loss_chunk_size
             )
             grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
             return (grad_sum, loss_sum + loss, tok_sum + toks), None
@@ -134,14 +198,15 @@ def train_step(
     return new_params, new_opt_state, metrics
 
 
-def eval_step(params, batch, *, cfg: llama.LlamaConfig):
+def eval_step(params, batch, *, cfg: llama.LlamaConfig, loss_chunk_size: int = 0):
     """Loss on one eval micro-batch [B, L]."""
-    loss, toks = loss_fn(params, cfg, batch)
+    loss, toks = loss_fn(params, cfg, batch, loss_chunk_size)
     return loss, toks
 
 
 def make_train_step(mesh, cfg: llama.LlamaConfig, tx, params,
-                    gradient_clip_value: float = 1.0):
+                    gradient_clip_value: float = 1.0,
+                    loss_chunk_size: int = 0):
     """Build the jitted sharded step: params/opt-state shardings from the
     partition rules, batch over (data, fsdp); donated for in-place update."""
     p_shardings = params_shardings(params, mesh)
@@ -149,7 +214,8 @@ def make_train_step(mesh, cfg: llama.LlamaConfig, tx, params,
     batch_shardings = {"input_ids": data_sh_axis1(mesh), "labels": data_sh_axis1(mesh)}
 
     step = functools.partial(
-        train_step, cfg=cfg, tx=tx, gradient_clip_value=gradient_clip_value
+        train_step, cfg=cfg, tx=tx, gradient_clip_value=gradient_clip_value,
+        loss_chunk_size=loss_chunk_size,
     )
     return jax.jit(
         step,
@@ -189,10 +255,10 @@ def _opt_state_shardings(tx, params, p_shardings, mesh):
     return jax.tree_util.tree_map(leaf_sharding, shapes)
 
 
-def make_eval_step(mesh, cfg: llama.LlamaConfig, params):
+def make_eval_step(mesh, cfg: llama.LlamaConfig, params, loss_chunk_size: int = 0):
     p_shardings = params_shardings(params, mesh)
     data_sh = batch_sharding(mesh)
     return jax.jit(
-        functools.partial(eval_step, cfg=cfg),
+        functools.partial(eval_step, cfg=cfg, loss_chunk_size=loss_chunk_size),
         in_shardings=(p_shardings, {"input_ids": data_sh, "labels": data_sh}),
     )
