@@ -314,3 +314,100 @@ def test_engine_cancel(setup):
     assert (eng._refs == 0).all()
     s = eng.stats()
     assert s["free_blocks"] + s["cached_blocks"] == eng.num_blocks
+
+
+def test_engine_multi_step_dispatch_matches_single(setup):
+    """steps_per_dispatch>1 (K decode steps per jitted lax.scan dispatch,
+    in-program EOS/budget finish) must produce IDENTICAL tokens to the
+    per-step engine: each slot's sampling depends only on its own
+    request-seeded RNG stream and its own history, never on scheduling.
+    Covers sampling + penalties, queueing (5 requests / 2 slots), and a
+    budget that is not a multiple of K."""
+    cfg, params = setup
+    sp = SamplingParams(temperature=0.8, top_k=8, repetition_penalty=1.1,
+                        frequency_penalty=0.3)
+    prompts = [np.array([i + 1, i + 2, i + 3], dtype=np.int32)
+               for i in range(5)]
+
+    ref = InferenceEngine(params, cfg, max_batch=2, max_len=128, sp=sp)
+    want = ref.generate_all(prompts, max_new_tokens=7, eos_id=-1, seed=11)
+
+    multi = InferenceEngine(params, cfg, max_batch=2, max_len=128, sp=sp,
+                            steps_per_dispatch=4)
+    got = multi.generate_all(prompts, max_new_tokens=7, eos_id=-1, seed=11)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w.tokens, g.tokens)
+        assert w.finish_reason == g.finish_reason
+
+
+def test_engine_multi_step_eos_and_min_tokens(setup):
+    """In-program finish honors EOS and min_tokens exactly like the
+    host-side path."""
+    cfg, params = setup
+    p = np.array([11, 12, 13], dtype=np.int32)
+    probe = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                            sp=_greedy_sp())
+    [r] = probe.generate_all([p], max_new_tokens=3, eos_id=-1)
+    first = int(r.tokens[0])
+
+    eng = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                          sp=_greedy_sp(), steps_per_dispatch=8)
+    [res] = eng.generate_all([p], max_new_tokens=10, eos_id=first)
+    assert res.finish_reason == "eos"
+    assert len(res.tokens) == 1
+
+    eng2 = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                           sp=_greedy_sp(), steps_per_dispatch=8)
+    eng2.submit(p, 10, eos_id=first, min_tokens=4)
+    [res2] = eng2.run()
+    assert len(res2.tokens) >= 4
+
+
+def test_paged_engine_multi_step_with_prefix_cache(setup):
+    """Multi-step dispatch composes with paged KV + prefix caching."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    shared = np.arange(1, 65, dtype=np.int32) % 60 + 1  # one full block
+    prompts = [np.concatenate([shared, np.array([i + 1], dtype=np.int32)])
+               for i in range(3)]
+
+    ref = InferenceEngine(params, cfg, max_batch=2, max_len=256,
+                          sp=_greedy_sp())
+    want = ref.generate_all(prompts, max_new_tokens=6, eos_id=-1)
+
+    eng = PagedInferenceEngine(params, cfg, max_batch=2, max_len=256,
+                               block_size=64, sp=_greedy_sp(),
+                               enable_prefix_cache=True,
+                               steps_per_dispatch=4)
+    got = eng.generate_all(prompts, max_new_tokens=6, eos_id=-1)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w.tokens, g.tokens)
+    assert eng.prefix_cache_hits > 0
+    assert (eng._refs == 0).all()
+
+
+def test_engine_multi_step_int4_no_warning(setup):
+    """Packed-int4 params are engine-viable with steps_per_dispatch>1 (the
+    S4 view unpacks once per K-step program) — no degradation warning, and
+    greedy tokens match the single-program generate path."""
+    import warnings
+
+    from tts_max_tpu.models import quantization as quant
+
+    cfg, params = setup
+    qparams = quant.quantize_llama_params(params, bits=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        eng = InferenceEngine(qparams, cfg, max_batch=2, max_len=128,
+                              sp=_greedy_sp(), steps_per_dispatch=4)
+    p = np.array([5, 9, 42, 7], dtype=np.int32)
+    [comp] = eng.generate_all([p], max_new_tokens=8, eos_id=-1)
+    ref = generate(
+        params=qparams, cfg=cfg,
+        prompt_tokens=jnp.asarray(np.pad(p, (0, 60))[None]),
+        prompt_lengths=jnp.asarray([4], jnp.int32),
+        rng=jax.random.PRNGKey(0), sp=_greedy_sp(), max_new_tokens=8,
+        eos_id=-1, cache_len=128,
+    )
+    np.testing.assert_array_equal(comp.tokens, np.asarray(ref.tokens[0]))

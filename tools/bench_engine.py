@@ -1,0 +1,172 @@
+"""Serving-engine benchmark: continuous batching under concurrent
+mixed-length load on the real chip (VERDICT r1 item 3).
+
+The generate-path numbers in BENCHMARKS.md measure one monolithic jitted
+program over a fixed batch; production serving runs the continuous-batching
+engine (inference/engine.py — the vLLM role, reference
+inferencing.py:77-92), whose host-side scheduling could in principle eat the
+theoretical throughput. This drives PagedInferenceEngine end-to-end with a
+pool of mixed-length requests and reports:
+
+  - engine tokens/s (all generated tokens / wall-clock from first submit to
+    last completion, compile excluded via a warmup round)
+  - TTFT: submit -> first token observed on host, p50/p95 (granularity =
+    one dispatch)
+  - admission latency: submit -> prefill dispatched
+  - per-request completion latency p50/p95
+
+Usage:
+  python tools/bench_engine.py [--arch llama-1b] [--quantize int8|int4|none]
+      [--max-batch 64] [--steps-per-dispatch 32] [--requests 128]
+      [--budget 256] [--kv int8] [--contiguous] [--no-window]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from tts_max_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
+from tts_max_tpu.models import llama, quantization
+from tts_max_tpu.ops.sampling import SamplingParams
+
+SPEECH_WINDOW = (128264, 65544)  # SpeechVocab.generation_window at 193856
+
+
+def pct(xs, p):
+    return float(np.percentile(np.asarray(xs), p)) if xs else float("nan")
+
+
+def run_load(engine, prompts, budgets, seed=0):
+    """Submit everything up-front (saturation load) and drive the engine to
+    completion, recording per-request submit/first-token/done timestamps."""
+    submit_t, first_t, done_t, admit_t = {}, {}, {}, {}
+    t0 = time.perf_counter()
+    ids = []
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        rid = engine.submit(p, int(b), eos_id=-1, sampling_seed=seed + i)
+        submit_t[rid] = time.perf_counter()
+        ids.append(rid)
+    n_tokens = 0
+    while engine.has_work():
+        completions = engine.step()
+        now = time.perf_counter()
+        for s in engine._slots:
+            if s.request is not None:
+                rid = s.request.request_id
+                admit_t.setdefault(rid, now)
+                if s.generated:
+                    first_t.setdefault(rid, now)
+        for c in completions:
+            done_t[c.request_id] = now
+            admit_t.setdefault(c.request_id, now)
+            first_t.setdefault(c.request_id, now)
+            n_tokens += len(c.tokens)
+    wall = time.perf_counter() - t0
+    ttft = [first_t[r] - submit_t[r] for r in ids if r in first_t]
+    lat = [done_t[r] - submit_t[r] for r in ids if r in done_t]
+    admit = [admit_t[r] - submit_t[r] for r in ids if r in admit_t]
+    return {
+        "tokens": n_tokens,
+        "wall_s": wall,
+        "tok_per_s": n_tokens / wall,
+        "ttft_p50": pct(ttft, 50),
+        "ttft_p95": pct(ttft, 95),
+        "latency_p50": pct(lat, 50),
+        "latency_p95": pct(lat, 95),
+        "admission_p50": pct(admit, 50),
+        "completed": len(done_t),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="llama-1b")
+    ap.add_argument("--quantize", choices=["int8", "int4", "none"],
+                    default="int8")
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--steps-per-dispatch", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=128)
+    ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--block-size", type=int, default=64)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--contiguous", action="store_true",
+                    help="contiguous per-slot KV instead of paged blocks")
+    ap.add_argument("--no-window", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
+    params = jax.jit(
+        lambda k: llama.init_params(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    if args.quantize != "none":
+        params = quantization.quantize_for_serving(params, args.quantize)
+    window = None if args.no_window else SPEECH_WINDOW
+    sp = SamplingParams(temperature=0.8, top_k=50, repetition_penalty=1.1,
+                        frequency_penalty=0.3)
+
+    kw = dict(
+        max_batch=args.max_batch, max_len=args.max_len, sp=sp,
+        quantized_kv=args.kv == "int8", vocab_window=window,
+        steps_per_dispatch=args.steps_per_dispatch,
+    )
+    if args.contiguous:
+        engine = InferenceEngine(params, cfg, **kw)
+    else:
+        engine = PagedInferenceEngine(
+            params, cfg, block_size=args.block_size, **kw
+        )
+
+    # Mixed-length load: prompts at the 64/128/256 buckets, budgets 50-100%
+    # of --budget (4-10 s speech at 50 tok/s with the default 256).
+    rng = np.random.default_rng(args.seed)
+    lo = window[0] if window else 3
+    hi = (window[0] + window[1] - 8) if window else cfg.vocab_size
+
+    def make_load(n, seed_off):
+        prompts, budgets = [], []
+        for i in range(n):
+            plen = int(rng.choice([48, 96, 112, 200, 240]))
+            prompts.append(rng.integers(lo, hi, plen).astype(np.int32))
+            budgets.append(int(rng.integers(args.budget // 2, args.budget)))
+        return prompts, budgets
+
+    # warmup: compile every prefill bucket + the decode program
+    wp, wb = make_load(min(8, args.requests), 10_000)
+    print("bench_engine: warmup/compile ...", file=sys.stderr, flush=True)
+    run_load(engine, wp, [8] * len(wp), seed=10_000)
+
+    prompts, budgets = make_load(args.requests, 0)
+    print(
+        f"bench_engine: {args.requests} reqs, budgets ~{args.budget}, "
+        f"pool {args.max_batch}, K={args.steps_per_dispatch}, "
+        f"{args.quantize}, kv={args.kv}, "
+        f"{'contig' if args.contiguous else 'paged'}",
+        file=sys.stderr, flush=True,
+    )
+    r = run_load(engine, prompts, budgets, seed=args.seed)
+    assert r["completed"] == args.requests, r
+    print(
+        f"engine {args.arch} {args.quantize} kv={args.kv} "
+        f"pool={args.max_batch} K={args.steps_per_dispatch}: "
+        f"{r['tok_per_s']:.0f} tok/s  "
+        f"TTFT p50 {r['ttft_p50'] * 1e3:.0f}ms p95 {r['ttft_p95'] * 1e3:.0f}ms  "
+        f"latency p50 {r['latency_p50']:.2f}s p95 {r['latency_p95']:.2f}s  "
+        f"({r['tokens']} toks in {r['wall_s']:.1f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

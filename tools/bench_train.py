@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     ap.add_argument("--mu", choices=["bf16", "fp32"], default="bf16")
     ap.add_argument("--steps", type=int, default=8)
+    # Blockwise cross-entropy (train_step.chunked_causal_lm_loss): 0 = naive
+    # full-vocab [B,S,193856] fp32 logprobs.
+    ap.add_argument("--loss-chunk", type=int, default=0)
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.seq)
@@ -48,7 +51,9 @@ def main():
         "labels": jnp.ones((1, args.batch, args.seq), jnp.int32),
     }
     step = jax.jit(
-        lambda p, o, b: ts.train_step(p, o, b, cfg=cfg, tx=tx),
+        lambda p, o, b: ts.train_step(
+            p, o, b, cfg=cfg, tx=tx, loss_chunk_size=args.loss_chunk
+        ),
         donate_argnums=(0, 1),
     )
     params, opt_state, m = step(params, opt_state, batch)
@@ -66,6 +71,7 @@ def main():
     dt = time.perf_counter() - t0 - rtt
     print(
         f"{args.arch} remat={args.remat} {args.precision}/mu-{args.mu} "
+        f"chunk={args.loss_chunk} "
         f"batch {args.batch}x{args.seq}: {toks * args.steps / dt:.0f} "
         f"tokens/s/chip ({dt / args.steps * 1e3:.0f} ms/step)",
         flush=True,

@@ -15,6 +15,17 @@ decode step:
 
 Static shapes throughout: the engine compiles one prefill program per prompt
 bucket and exactly one decode program.
+
+``steps_per_dispatch > 1`` batches K decode steps into one jitted
+``lax.scan`` program per host round-trip: EOS/budget finish detection moves
+in-program (a finished slot is masked for the rest of the dispatch and
+re-admitted after it), K×[B] tokens come back per fetch, and — because
+packed-int4 params are unpacked to their S4 view ONCE at the top of the
+program — int4 weights run at full speed here, not just in the
+single-program generate path. On a relayed TPU (~28 ms/fetch) per-step
+dispatch caps the pool at ~35 steps/s regardless of compute; K-step
+dispatch amortizes the round-trip to nothing. The cost is scheduling
+granularity: a freed slot idles for at most K-1 steps.
 """
 
 from __future__ import annotations
@@ -78,6 +89,7 @@ class InferenceEngine:
         quantized_kv: bool = False,
         vocab_window: tuple[int, int] | None = None,
         max_top_k: int = 64,
+        steps_per_dispatch: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -86,6 +98,7 @@ class InferenceEngine:
         self.sp = sp
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
+        self.steps_per_dispatch = steps_per_dispatch
         # Constrain sampling to a contiguous vocab window (lo, size) —
         # SpeechVocab.generation_window() for TTS serving. Logits / penalty
         # buffers shrink to window size; emitted ids stay global.
@@ -110,7 +123,7 @@ class InferenceEngine:
 
         from tts_max_tpu.models.quantization import is_packed4
 
-        if any(
+        if steps_per_dispatch == 1 and any(
             is_packed4(leaf)
             for leaf in jax.tree_util.tree_leaves(
                 params, is_leaf=is_packed4
@@ -119,10 +132,11 @@ class InferenceEngine:
             import warnings
 
             warnings.warn(
-                "packed int4 params in the step-dispatched engine unpack on "
+                "packed int4 params with steps_per_dispatch=1 unpack on "
                 "EVERY decode step (the S4 view cannot persist across jit "
-                "boundaries on this platform) — prefer int8 here; int4 is "
-                "fast in the single-program generate/synthesize paths",
+                "boundaries on this platform) — set steps_per_dispatch>1 "
+                "(the multi-step program unpacks once per dispatch) or use "
+                "int8",
                 stacklevel=2,
             )
         self._slots = [_Slot() for _ in range(max_batch)]
@@ -131,6 +145,9 @@ class InferenceEngine:
         self._ids = itertools.count()
         self._prefill_cache: dict[int, Callable] = {}
         self._decode = jax.jit(self._decode_step)
+        # multi-step: donate the cache (at 8B pool sizes two live copies of
+        # the KV pool do not fit HBM) — self.cache is reassigned each call
+        self._decode_k = jax.jit(self._decode_multi, donate_argnums=(1,))
 
     # --- public API ---------------------------------------------------------
 
@@ -371,7 +388,133 @@ class InferenceEngine:
         lengths = lengths + inc
         return toks, logits, cache, lengths, token_counts, gen_counts, rngs
 
+    def _decode_multi(self, params, cache, last_logits, lengths, active,
+                      token_counts, gen_counts, rngs, bsp, eos_ids,
+                      min_tokens, prompt_lens, budgets, table=None):
+        """``steps_per_dispatch`` lockstep decode steps in ONE program.
+
+        Finish detection (EOS sampled, or budget exhausted) runs in-program:
+        a finished slot flips inactive for the remaining steps of the scan
+        and the host re-admits it after the dispatch. Emits [K, B] tokens
+        plus the was-active mask the host needs to attribute them.
+
+        Packed int4 params unpack to their S4 view once here, amortized over
+        all K steps — this is what makes int4 serving-engine-viable
+        (models/quantization.unpack_packed_params).
+        """
+        from tts_max_tpu.models.quantization import unpack_packed_params
+
+        params = unpack_packed_params(params)
+        b = self.max_batch
+        lo = self.vocab_window[0] if self.vocab_window else 0
+        head = self._logits_head(params)
+        rows = jnp.arange(b)
+
+        def step(carry, _):
+            (cache, last_logits, lengths, active, token_counts, gen_counts,
+             rngs) = carry
+            keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
+            rngs, sample_keys = keys[:, 0], keys[:, 1]
+            eos_w = eos_ids - lo
+            in_range = (eos_w >= 0) & (eos_w < last_logits.shape[-1])
+            n_gen = lengths - prompt_lens
+            blocked = in_range & (n_gen < min_tokens)
+            cols = jnp.clip(eos_w, 0, last_logits.shape[-1] - 1)
+            ll = last_logits.at[rows, cols].set(
+                jnp.where(blocked, -jnp.inf, last_logits[rows, cols])
+            )
+            toks_w = sampling.sample_token_batched(
+                sample_keys, ll, bsp, token_counts, gen_counts
+            )
+            toks = jnp.where(active, toks_w + lo, self.pad_id).astype(
+                jnp.int32
+            )
+            emitted = active
+            inc = active.astype(jnp.int32)
+            cidx = jnp.where(active, toks_w, 0)
+            token_counts = token_counts.at[rows, cidx].add(inc)
+            gen_counts = gen_counts.at[rows, cidx].add(inc)
+            # in-program finish: the emitted token ends the request
+            finished = emitted & (
+                (toks == eos_ids) | (n_gen + inc >= budgets)
+            )
+            active = active & ~finished
+            if table is None:
+                logits, cache = llama.decode_step(
+                    params, self.cfg, cache, toks, lengths, logits_head=head
+                )
+            else:
+                logits, cache = llama.decode_step_paged(
+                    params, self.cfg, cache, toks, lengths, table,
+                    logits_head=head,
+                )
+            lengths = lengths + inc
+            return (
+                cache, logits, lengths, active, token_counts, gen_counts,
+                rngs,
+            ), (toks, emitted)
+
+        carry = (cache, last_logits, lengths, active, token_counts,
+                 gen_counts, rngs)
+        carry, (toks_k, emitted_k) = jax.lax.scan(
+            step, carry, None, length=self.steps_per_dispatch
+        )
+        return carry + (toks_k, emitted_k)
+
+    def _finish_token(self, slot_idx: int, tok: int) -> bool:
+        """Append ``tok`` to the slot; finalize the completion if it ends the
+        request. Returns True when the slot was freed."""
+        slot = self._slots[slot_idx]
+        req = slot.request
+        slot.generated.append(tok)
+        if tok == req.eos_id or len(slot.generated) >= req.max_new_tokens:
+            reason = "eos" if tok == req.eos_id else "length"
+            self._finished.append(
+                Completion(
+                    req.request_id,
+                    np.asarray(slot.generated, dtype=np.int32),
+                    reason,
+                )
+            )
+            slot.request = None
+            slot.generated = []
+            self._release_slot(slot_idx)
+            return True
+        return False
+
+    def _run_decode_multi(self) -> None:
+        (self.cache, self.last_logits, self.lengths, self.active,
+         self.token_counts, self.gen_counts, self.rngs, toks_k,
+         emitted_k) = self._decode_k(
+            self.params, self.cache, self.last_logits, self.lengths,
+            self.active, self.token_counts, self.gen_counts, self.rngs,
+            self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
+            self.budgets, self._table_device(),
+        )
+        toks_np = np.asarray(toks_k)  # [K, B]
+        emitted_np = np.asarray(emitted_k)
+        freed = []
+        for i, slot in enumerate(self._slots):
+            if slot.request is None:
+                continue
+            for k in range(toks_np.shape[0]):
+                if not emitted_np[k, i]:
+                    continue
+                if self._finish_token(i, int(toks_np[k, i])):
+                    freed.append(i)
+                    break
+        # the device already flipped finished slots inactive; assert the host
+        # view agrees (a mismatch means budgets/eos drifted between the two)
+        if freed:
+            active_np = np.asarray(self.active)
+            assert not any(active_np[i] for i in freed), (
+                "device/host finish disagreement"
+            )
+
     def _run_decode(self) -> None:
+        if self.steps_per_dispatch > 1:
+            self._run_decode_multi()
+            return
         (toks, logits, self.cache, self.lengths, self.token_counts,
          self.gen_counts, self.rngs) = self._decode(
             self.params, self.cache, self.last_logits, self.lengths,
@@ -385,22 +528,8 @@ class InferenceEngine:
         for i, slot in enumerate(self._slots):
             if slot.request is None or not active_np[i]:
                 continue
-            tok = int(toks_np[i])
-            slot.generated.append(tok)
-            req = slot.request
-            if tok == req.eos_id or len(slot.generated) >= req.max_new_tokens:
-                reason = "eos" if tok == req.eos_id else "length"
-                self._finished.append(
-                    Completion(
-                        req.request_id,
-                        np.asarray(slot.generated, dtype=np.int32),
-                        reason,
-                    )
-                )
-                slot.request = None
-                slot.generated = []
+            if self._finish_token(i, int(toks_np[i])):
                 self.active = self.active.at[i].set(False)
-                self._release_slot(i)
 
 
 class PagedInferenceEngine(InferenceEngine):
@@ -441,6 +570,7 @@ class PagedInferenceEngine(InferenceEngine):
         vocab_window: tuple[int, int] | None = None,
         enable_prefix_cache: bool = False,
         max_top_k: int = 64,
+        steps_per_dispatch: int = 1,
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -467,6 +597,7 @@ class PagedInferenceEngine(InferenceEngine):
             params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
             pad_id=pad_id, quantized_kv=quantized_kv,
             vocab_window=vocab_window, max_top_k=max_top_k,
+            steps_per_dispatch=steps_per_dispatch,
         )
 
     def _make_cache(self):
