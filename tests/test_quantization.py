@@ -132,3 +132,72 @@ def test_int4_model_generate():
                    max_new_tokens=6, eos_id=-1, vocab_window=(32, 64))
     out = np.asarray(res.tokens)
     assert ((out >= 32) & (out < 96)).all()
+
+
+def test_grouped_int4_shapes_and_dequant():
+    """Sub-channel grouped int4: scale [..., K/g, N]; dequantize respects
+    group boundaries; grouping strictly beats per-channel on weights with a
+    per-group outlier (the failure mode that makes per-channel int4 coarse
+    at 2048-deep contractions)."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    # one huge outlier per column in the FIRST group only: per-channel scales
+    # blow up for the whole column, grouped scales only for group 0
+    w[5, :] *= 40.0
+    p = q.quantize_tensor(jnp.asarray(w), axis=0, bits=4, group_size=64)
+    assert p["q4"].shape == (256, 32) and p["q4"].dtype == jnp.uint8
+    assert p["scale"].shape == (4, 64)
+    pc = q.quantize_tensor(jnp.asarray(w), axis=0, bits=4)
+    err_g = float(jnp.mean((q.dequantize(p, jnp.float32) - w) ** 2))
+    err_c = float(jnp.mean((q.dequantize(pc, jnp.float32) - w) ** 2))
+    assert err_g < err_c / 2, (err_g, err_c)
+
+
+def test_grouped_int4_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(128, 32)).astype(np.float32)
+    x = rng.normal(size=(4, 128)).astype(np.float32)
+    p = q.quantize_tensor(jnp.asarray(w), axis=0, bits=4, group_size=32)
+    got = q.matmul(jnp.asarray(x), p, dtype=jnp.float32)
+    want = x @ np.asarray(q.dequantize(p, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_int4_layer_stacked_and_model():
+    """[L, K, N] stacked kernels quantize to [L, G, N] scales; the full
+    model generates through the grouped path (scan slices layer by layer),
+    including unpack_packed_params and the engine."""
+    from tts_max_tpu.inference.generate import generate
+    from tts_max_tpu.ops.sampling import SamplingParams
+
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    gp = q.quantize_llama_params(params, bits=4, group_size=8)
+    k = gp["layers"]["mlp"]["w_gate"]["kernel"]
+    assert k["scale"].ndim == 3  # [L, G, N]
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    toks = jnp.asarray(np.arange(1, 9, dtype=np.int32)[None])
+    lens = jnp.asarray([8], jnp.int32)
+    out = generate(gp, cfg, toks, lens, jax.random.PRNGKey(1), sp=sp,
+                   max_new_tokens=6, eos_id=-1, cache_len=64)
+    assert out.tokens.shape == (1, 6)
+    # grouped dequantized weights are CLOSER to bf16 than per-channel ones,
+    # so greedy tokens should match the bf16 model at this tiny scale
+    ref = generate(params, cfg, toks, lens, jax.random.PRNGKey(1), sp=sp,
+                   max_new_tokens=6, eos_id=-1, cache_len=64)
+    pc = q.quantize_llama_params(params, bits=4)
+    out_pc = generate(pc, cfg, toks, lens, jax.random.PRNGKey(1), sp=sp,
+                      max_new_tokens=6, eos_id=-1, cache_len=64)
+    agree_g = int((out.tokens == ref.tokens).sum())
+    agree_c = int((out_pc.tokens == ref.tokens).sum())
+    assert agree_g >= agree_c
+
+
+def test_quantize_for_serving_grouped_mode():
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    gp = q.quantize_for_serving(params, "int4-g8")
+    assert gp["layers"]["attn"]["wq"]["kernel"]["scale"].ndim == 3
+    with pytest.raises(ValueError):
+        q.quantize_tensor(jnp.ones((16, 16)), axis=0, bits=8, group_size=8)

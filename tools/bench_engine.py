@@ -91,7 +91,7 @@ def run_load(engine, prompts, budgets, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="llama-1b")
-    ap.add_argument("--quantize", choices=["int8", "int4", "none"],
+    ap.add_argument("--quantize", choices=["int8", "int4", "int4-g64", "int4-g128", "none"],
                     default="int8")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--steps-per-dispatch", type=int, default=32)

@@ -50,7 +50,7 @@ def main(argv=None):
     parser.add_argument("--lora_r", type=int, default=16)
     parser.add_argument("--lora_alpha", type=int, default=32)
     parser.add_argument("--quantize", nargs="?", const="int8", default="",
-                        choices=["", "int8", "int4"],
+                        choices=["", "int8", "int4", "int4-g64", "int4-g128"],
                         help="also write a pre-quantized serving dir "
                              "(<output_dir>/quantized-<mode>): 2x/4x "
                              "smaller artifact + load, no startup "
@@ -89,11 +89,9 @@ def main(argv=None):
     if args.quantize:
         from tts_max_tpu.models import quantization
 
-        bits = 4 if args.quantize == "int4" else 8
+        bits = 4 if args.quantize.startswith("int4") else 8
         qdir = os.path.join(args.output_dir, f"quantized-{args.quantize}")
-        qparams = jax.jit(
-            lambda p: quantization.quantize_llama_params(p, bits=bits)
-        )(params)
+        qparams = quantization.quantize_for_serving(params, args.quantize)
         hf_import.save_quantized_dir(
             jax.device_get(qparams), cfg, qdir, bits
         )

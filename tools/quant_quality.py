@@ -1,0 +1,148 @@
+"""Quantization quality harness: agreement of quantized serving weights vs
+bf16 (VERDICT r1 item 5).
+
+Per-channel int4 was admitted-coarse in round 1; this measures exactly how
+coarse, and whether sub-channel grouping fixes it, by comparing each
+quantization mode against the bf16 model on:
+
+  - top-1 / top-8 agreement: fraction of next-token distributions whose
+    argmax (resp. top-8 set overlap) matches bf16, over B×P random prefill
+    positions;
+  - greedy divergence: mean number of steps before a greedy decode first
+    differs from the bf16 decode (capped at --steps), over B sequences;
+  - logit RMSE at the sampled positions.
+
+Random-init weights are the air-gapped proxy (weight statistics are
+Gaussian-ish like trained nets, but there is no semantic signal); with a
+real checkpoint set ``--model_dir`` to measure the same numbers on it.
+
+Usage:
+  python tools/quant_quality.py [--arch llama-1b] [--modes int8,int4,int4-g128]
+      [--batch 8] [--prompt 128] [--steps 64] [--model_dir DIR]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tts_max_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tts_max_tpu.inference.generate import make_generate_fn  # noqa: E402
+from tts_max_tpu.models import llama, quantization  # noqa: E402
+from tts_max_tpu.ops.sampling import SamplingParams  # noqa: E402
+
+
+def agreement(params_q, params_ref, cfg, tokens, top=8):
+    """Top-1/top-k agreement + logit RMSE over every position of a prefill.
+
+    Entirely on-device (only three scalars come back — at 1B geometry the
+    [B, S, 193856] logits would take minutes to fetch through the relay)."""
+
+    @jax.jit
+    def stats(pq, pr):
+        hq = llama.forward_hidden(pq, cfg, tokens)
+        hr = llama.forward_hidden(pr, cfg, tokens)
+        # hidden-state SNR: smooth and monotonic in per-layer quantization
+        # error, unlike argmax agreement (which is chaotic when logit
+        # margins are small — always the case for random-init weights)
+        snr_db = 10.0 * jnp.log10(
+            jnp.sum(hr.astype(jnp.float32) ** 2)
+            / jnp.sum((hq - hr).astype(jnp.float32) ** 2)
+        )
+        lq = llama._logits(hq, pq, cfg)
+        lr = llama._logits(hr, pr, cfg)
+        top1 = (lq.argmax(-1) == lr.argmax(-1)).mean()
+        _, kq = jax.lax.top_k(lq, top)
+        _, kr = jax.lax.top_k(lr, top)
+        overlap = (kq[..., :, None] == kr[..., None, :]).any(-1).mean()
+        rmse = jnp.sqrt(jnp.mean((lq - lr) ** 2))
+        return top1, overlap, rmse, snr_db
+
+    top1, overlap, rmse, snr = stats(params_q, params_ref)
+    return float(top1), float(overlap), float(rmse), float(snr)
+
+
+def greedy_divergence(params_q, params_ref, cfg, tokens, lengths, steps):
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    gen = make_generate_fn(cfg, sp, max_new_tokens=steps, eos_id=-1,
+                           cache_len=tokens.shape[1] + steps)
+    rng = jax.random.PRNGKey(0)
+    tq = np.asarray(gen(params_q, tokens, lengths, rng).tokens)
+    tr = np.asarray(gen(params_ref, tokens, lengths, rng).tokens)
+    same = tq == tr
+    # steps until first divergence, per row
+    first_div = np.where(
+        same.all(-1), steps, np.argmin(same, axis=-1)
+    )
+    return float(first_div.mean()), float(same.mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="llama-1b")
+    ap.add_argument("--modes", default="int8,int4,int4-g128,int4-g64")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--model_dir", default="",
+                    help="real checkpoint (HF dir) instead of random init")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.model_dir:
+        from tts_max_tpu.models import hf_import
+
+        params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params
+        )
+    else:
+        cfg = llama.config_for_architecture(
+            args.arch, max_seq_len=args.prompt + args.steps
+        )
+        params = jax.jit(
+            lambda k: llama.init_params(k, cfg, dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(args.seed))
+
+    rng = np.random.default_rng(args.seed)
+    tokens = jnp.asarray(
+        rng.integers(3, cfg.vocab_size, (args.batch, args.prompt)), jnp.int32
+    )
+    lengths = jnp.full((args.batch,), args.prompt, jnp.int32)
+
+    print(
+        f"quant_quality {args.arch} "
+        f"({'real ckpt' if args.model_dir else 'random init'}), "
+        f"{args.batch}x{args.prompt} prompts, {args.steps} greedy steps",
+        flush=True,
+    )
+    if not args.model_dir:
+        print(
+            "NOTE: random-init weights have near-zero logit margins, so "
+            "top1/div@ are chaotic lower bounds at >tiny scale; hidden-state "
+            "SNR is the smooth cross-mode comparison. Re-run with "
+            "--model_dir on a real checkpoint for serving-quality gates.",
+            flush=True,
+        )
+    print(f"{'mode':>10}  {'snr_db':>7}  {'top1':>6}  {'top8':>6}  "
+          f"{'rmse':>7}  {'div@':>6}  {'tok=':>6}")
+    for mode in args.modes.split(","):
+        qp = quantization.quantize_for_serving(params, mode)
+        t1, t8, rmse, snr = agreement(qp, params, cfg, tokens)
+        div, match = greedy_divergence(qp, params, cfg, tokens, lengths,
+                                       args.steps)
+        print(f"{mode:>10}  {snr:7.2f}  {t1:6.3f}  {t8:6.3f}  {rmse:7.4f}  "
+              f"{div:6.1f}  {match:6.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -266,7 +266,7 @@ def main(argv=None):
     parser.add_argument("--block_size", type=int, default=64)
     parser.add_argument("--max_tokens", type=int, default=1792)
     parser.add_argument("--quantize", nargs="?", const="int8", default="",
-                        choices=["", "int8", "int4"])
+                        choices=["", "int8", "int4", "int4-g64", "int4-g128"])
     parser.add_argument("--quantized_kv", action="store_true")
     parser.add_argument("--no_constrain", action="store_true")
     args = parser.parse_args(argv)

@@ -72,7 +72,7 @@ def main(argv=None):
     parser.add_argument("--codec_encoder", default="")
     parser.add_argument("--max_tokens", type=int, default=1792)
     parser.add_argument("--quantize", nargs="?", const="int8", default="",
-                        choices=["", "int8", "int4"],
+                        choices=["", "int8", "int4", "int4-g64", "int4-g128"],
                         help="weight-only quantization: int8 (2x decode "
                              "throughput) or int4 (another +36%%, coarser)")
     parser.add_argument("--temperature", type=float, default=0.8)
