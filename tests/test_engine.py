@@ -275,7 +275,7 @@ def test_engine_stats(setup):
                                block_size=64, sp=_greedy_sp(),
                                enable_prefix_cache=True)
     s0 = eng.stats()
-    assert s0["active_slots"] == 0 and s0["free_blocks"] == eng.num_blocks
+    assert s0["active_slots"] == 0 and s0["free_blocks"] == eng.num_blocks - 1  # block 0 = sink
     eng.submit(np.array([5, 9, 42], dtype=np.int32), 4, eos_id=-1)
     eng.step()
     s1 = eng.stats()
@@ -283,7 +283,7 @@ def test_engine_stats(setup):
     eng.run()
     s2 = eng.stats()
     assert s2["active_slots"] == 0
-    assert s2["free_blocks"] + s2["cached_blocks"] == eng.num_blocks
+    assert s2["free_blocks"] + s2["cached_blocks"] == eng.num_blocks - 1
 
 
 def test_engine_cancel(setup):
@@ -313,7 +313,7 @@ def test_engine_cancel(setup):
     assert not eng.has_work()
     assert (eng._refs == 0).all()
     s = eng.stats()
-    assert s["free_blocks"] + s["cached_blocks"] == eng.num_blocks
+    assert s["free_blocks"] + s["cached_blocks"] == eng.num_blocks - 1
 
 
 def test_engine_multi_step_dispatch_matches_single(setup):
@@ -411,3 +411,38 @@ def test_engine_multi_step_int4_no_warning(setup):
         eos_id=-1, cache_len=128,
     )
     np.testing.assert_array_equal(comp.tokens, np.asarray(ref.tokens[0]))
+
+
+def test_paged_sink_block_never_allocated_or_corrupted(setup):
+    """Block 0 is a reserved write sink: idle/released slots and
+    budget-finished slots scatter their dangling pad-token KV there, so it
+    must never be allocated to a request or prefix-registered. Regression:
+    a released slot's zeroed table row used to dribble pad KV into block 0
+    every remaining step, silently corrupting whichever live request owned
+    it (advisor round-2 high finding)."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    bs = 32
+    # pool sized so the OLD allocator would have handed block 0 to the last
+    # admission; request A budget-finishes exactly on a block boundary
+    # ((prompt+budget) % bs == 0 -> past-allocation table index), request B
+    # keeps decoding long after A's slot goes idle.
+    pa = np.array([5, 9, 42], dtype=np.int32)  # bucket 64 = 2 blocks
+    pb = np.array([7, 11, 13], dtype=np.int32)
+    eng = PagedInferenceEngine(params, cfg, max_batch=2, max_len=128,
+                               block_size=bs, num_blocks=9, sp=_greedy_sp(),
+                               enable_prefix_cache=True,
+                               steps_per_dispatch=4)
+    a = eng.submit(pa, 64 - len(pa), eos_id=-1)  # ends on block boundary
+    b = eng.submit(pb, 40, eos_id=-1)
+    done = {c.request_id: c for c in eng.run()}
+    assert 0 not in {blk for row in eng._slot_blocks for blk in row}
+    assert 0 not in eng._free_blocks and 0 not in eng._evictable
+    assert 0 not in eng._hash_of and eng._refs[0] == 0
+
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                           sp=_greedy_sp())
+    [rb] = solo.generate_all([pb], max_new_tokens=40, eos_id=-1)
+    np.testing.assert_array_equal(done[b].tokens, rb.tokens)
+    assert len(done[a].tokens) == 64 - len(pa)

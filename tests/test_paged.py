@@ -181,14 +181,14 @@ def test_paged_engine_block_recycling(setup):
     cfg, params = setup
     engine = PagedInferenceEngine(
         params, cfg, max_batch=4, max_len=128, block_size=32,
-        num_blocks=10,  # each request needs ceil(64/32)=2+ blocks
+        num_blocks=11,  # each request needs ceil(64/32)=2+ blocks (block 0 = sink)
         sp=_greedy_sp(),
     )
     prompts = [np.array([i + 1, i + 2, i + 3], dtype=np.int32) for i in range(7)]
     done = engine.generate_all(prompts, max_new_tokens=5, eos_id=-1)
     assert len(done) == 7
     assert all(len(c.tokens) == 5 for c in done)
-    assert sorted(engine._free_blocks) == list(range(10))
+    assert sorted(engine._free_blocks) == list(range(1, 11))
     # and the outputs match the contiguous engine
     ref_engine = InferenceEngine(params, cfg, max_batch=4, max_len=128,
                                  sp=_greedy_sp())
@@ -281,7 +281,7 @@ def test_prefix_cache_concurrent_sharing_and_refcounts(fp32_setup):
     # (impossible without it: 12); the fat request later needs 8 > the 7
     # free blocks, forcing LRU eviction of the cached prefix blocks.
     eng = PagedInferenceEngine(params, cfg, max_batch=3, max_len=128,
-                               block_size=bs, num_blocks=9, sp=_greedy(),
+                               block_size=bs, num_blocks=10, sp=_greedy(),
                                enable_prefix_cache=True)
     solo = PagedInferenceEngine(params, cfg, max_batch=1, max_len=128,
                                 block_size=bs, sp=_greedy())
@@ -292,7 +292,7 @@ def test_prefix_cache_concurrent_sharing_and_refcounts(fp32_setup):
     # everything released: refcounts zero, shared blocks parked evictable
     assert (eng._refs == 0).all()
     assert len(eng._evictable) >= 2
-    assert len(eng._free_blocks) + len(eng._evictable) == eng.num_blocks
+    assert len(eng._free_blocks) + len(eng._evictable) == eng.num_blocks - 1
 
     # pressure: a fat request forces eviction of cached blocks
     big = np.asarray(

@@ -96,3 +96,34 @@ def test_basic_normalizer_applies_verbalization():
     assert out == "Convert the text to speech: one hundred twenty-three dollars"
     # non-English text passes through untouched except NFKC/whitespace
     assert norm.normalize_with_language("123 euros", "fr") == "123 euros"
+
+
+class TestSentenceFinalAndPunctuation:
+    """Advisor round-2 findings: sentence-final numbers/years must verbalize
+    and list commas must survive."""
+
+    def test_sentence_final_number(self):
+        assert expand_en("I have 3.") == "I have three."
+
+    def test_sentence_final_year(self):
+        assert expand_en("We met in 1999.") == "We met in nineteen ninety-nine."
+
+    def test_year_before_clause_comma(self):
+        assert expand_en("In 1999, we left.") == "In nineteen ninety-nine, we left."
+
+    def test_list_comma_preserved(self):
+        assert expand_en("buy 2, get 1 free") == "buy two, get one free"
+
+    def test_sentence_final_decimal(self):
+        assert expand_en("pi is 3.14.") == "pi is three point one four."
+
+    def test_version_string_untouched(self):
+        assert expand_en("version 3.5.2 shipped") == "version 3.5.2 shipped"
+
+    def test_sentence_final_decade(self):
+        assert expand_en("the 1990s.") == "the nineteen nineties."
+
+    def test_thousands_separator_still_grouped(self):
+        assert expand_en("1,234 items") == (
+            "one thousand two hundred thirty-four items"
+        )

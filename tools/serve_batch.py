@@ -78,6 +78,12 @@ def main(argv=None):
     parser.add_argument("--no_prefix_cache", action="store_true")
     parser.add_argument("--no_constrain", action="store_true",
                         help="disable the speech-window sampling constraint")
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=32,
+        help="decode steps per jitted dispatch (K-step lax.scan). >1 "
+        "amortizes the ~28ms host round-trip and is required for int4 "
+        "weights to run at speed; a freed slot idles at most K-1 steps",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
     setup_logging(0)
@@ -111,6 +117,7 @@ def main(argv=None):
         block_size=args.block_size, quantized_kv=args.quantized_kv,
         enable_prefix_cache=not args.no_prefix_cache,
         vocab_window=window,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]

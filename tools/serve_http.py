@@ -246,6 +246,7 @@ def build_server(args) -> TtsServer:
         params, cfg, max_batch=args.max_batch, max_len=args.max_len,
         block_size=args.block_size, quantized_kv=args.quantized_kv,
         enable_prefix_cache=True, vocab_window=window,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     return TtsServer(engine, tokenizer, sv, encoder, decoder,
                      args.max_tokens, args.max_len)
@@ -269,6 +270,12 @@ def main(argv=None):
                         choices=["", "int8", "int4", "int4-g64", "int4-g128"])
     parser.add_argument("--quantized_kv", action="store_true")
     parser.add_argument("--no_constrain", action="store_true")
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=16,
+        help="decode steps per jitted dispatch (K-step lax.scan). >1 "
+        "amortizes the ~28ms host round-trip and is required for int4 "
+        "weights to run at speed; admission/TTFT granularity is K steps",
+    )
     args = parser.parse_args(argv)
     setup_logging(0)
 

@@ -147,13 +147,23 @@ def _expand_time(m: re.Match) -> str:
 
 _RE_TIME = re.compile(r"\b(\d{1,2}):(\d{2})(?![\d:])(?:\s?([ap]\.?m\.?\b))?",
                       re.IGNORECASE)
-_RE_CURRENCY = re.compile(r"([$£€¥])\s?(\d[\d,]*)(\.(\d{1,2}))?")
-_RE_PERCENT = re.compile(r"(?<![\w.])(-?)(\d[\d,]*)(?:\.(\d+))?\s?%")
-_RE_ORDINAL = re.compile(r"\b(\d[\d,]*)(st|nd|rd|th)\b", re.IGNORECASE)
+# Thousands separators match structurally (1,234,567) so list punctuation is
+# never consumed ("buy 2, get 1 free" keeps its comma); the trailing
+# lookaheads allow a sentence-terminating period ("I have 3.") while decimal
+# and version continuations ("3.14", "3.5.2") still take — or block — the
+# fractional branch.
+_INT = r"(\d{1,3}(?:,\d{3})+|\d+)"
+_RE_CURRENCY = re.compile(r"([$£€¥])\s?" + _INT + r"(\.(\d{1,2}))?")
+_RE_PERCENT = re.compile(r"(?<![\w.])(-?)" + _INT + r"(?:\.(\d+))?\s?%")
+_RE_ORDINAL = re.compile(r"\b" + _INT + r"(st|nd|rd|th)\b", re.IGNORECASE)
 # Standalone 4-digit 1100-2099 reads as a year (the common-case convention;
 # NeMo resolves this with a context tagger, a fallback cannot).
-_RE_YEAR = re.compile(r"(?<![\w,.:$£€¥-])(1[1-9]\d\d|20\d\d)(s?)(?![\w,.:%-])")
-_RE_NUMBER = re.compile(r"(?<![\w.:])(-?)(\d[\d,]*)(?:\.(\d+))?(?![\w.:%])")
+_RE_YEAR = re.compile(
+    r"(?<![\w,.:$£€¥-])(1[1-9]\d\d|20\d\d)(s?)(?!\.?\d)(?!,\d)(?![\w:%-])"
+)
+_RE_NUMBER = re.compile(
+    r"(?<![\w.:])(-?)" + _INT + r"(?:\.(\d+))?(?!\.?\d)(?![\w:%])"
+)
 
 
 def _expand_year(m: re.Match) -> str:

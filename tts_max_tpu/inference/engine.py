@@ -503,12 +503,26 @@ class InferenceEngine:
                 if self._finish_token(i, int(toks_np[k, i])):
                     freed.append(i)
                     break
-        # the device already flipped finished slots inactive; assert the host
-        # view agrees (a mismatch means budgets/eos drifted between the two)
-        if freed:
-            active_np = np.asarray(self.active)
-            assert not any(active_np[i] for i in freed), (
-                "device/host finish disagreement"
+        # the device already flipped finished slots inactive; verify both
+        # directions of host/device agreement (a mismatch means budgets/eos
+        # drifted between the two and would otherwise spin or drop output)
+        active_np = np.asarray(self.active)
+        assert not any(active_np[i] for i in freed), (
+            "device/host finish disagreement: host freed a slot the device "
+            "still considers active"
+        )
+        stuck = [
+            i for i, slot in enumerate(self._slots)
+            if slot.request is not None and i not in freed
+            and not active_np[i]
+        ]
+        if stuck:
+            raise RuntimeError(
+                f"device/host finish disagreement: device deactivated "
+                f"slot(s) {stuck} but the host never saw a finishing token "
+                f"(requests "
+                f"{[self._slots[i].request.request_id for i in stuck]}) — "
+                f"run() would spin forever"
             )
 
     def _run_decode(self) -> None:
@@ -575,11 +589,22 @@ class PagedInferenceEngine(InferenceEngine):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
         self.block_size = block_size
-        self.num_blocks = num_blocks or (max_batch * max_len) // block_size
+        # +1: block 0 is the reserved write sink (below), so default sizing
+        # still fits max_batch full-length requests
+        self.num_blocks = num_blocks or (
+            (max_batch * max_len) // block_size + 1
+        )
         self.table_width = max_len // block_size
-        self._free_blocks = list(range(self.num_blocks))
+        # Block 0 is a RESERVED WRITE SINK, never allocated or cached: the
+        # lockstep decode program scatters KV for every pool row, including
+        # idle/released slots (all-zero table rows) and budget-finished slots
+        # whose length crossed one block past their allocation (table entry
+        # 0).  Those dangling writes must land somewhere no live request or
+        # cached prefix can ever read, else they silently corrupt another
+        # request's KV.
+        self._free_blocks = list(range(1, self.num_blocks))
         self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
-        # unallocated entries stay 0 (a valid id; attention masks by length)
+        # unallocated entries stay 0 = the sink (attention masks by length)
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
         # --- prefix cache state ---
         self.enable_prefix_cache = enable_prefix_cache
