@@ -94,8 +94,10 @@ def test_basic_normalizer_applies_verbalization():
     norm = BasicTextNormalizer()
     out = norm.normalize_with_language("Convert the text to speech: 123 dollars", "en")
     assert out == "Convert the text to speech: one hundred twenty-three dollars"
-    # non-English text passes through untouched except NFKC/whitespace
-    assert norm.normalize_with_language("123 euros", "fr") == "123 euros"
+    # other reference languages verbalize too (data/verbalize_multi.py)
+    assert norm.normalize_with_language("123 euros", "fr") == (
+        "cent vingt-trois euros"
+    )
 
 
 class TestSentenceFinalAndPunctuation:

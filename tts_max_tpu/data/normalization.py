@@ -31,12 +31,14 @@ _WS = re.compile(r"\s+")
 
 
 class BasicTextNormalizer(TextNormalizer):
-    """NFKC + (for English) numeral/currency/time verbalization + ascii
+    """NFKC + numeral/currency/time verbalization + (for English) ascii
     transliteration + whitespace collapse.
 
-    The verbalization pass (data/verbalize.py) covers the NeMo capability
-    the reference relies on (text_normalization.py:53-127) so that on an
-    air-gapped image "123 dollars" never trains or serves as raw digits."""
+    The verbalization passes (data/verbalize.py for en,
+    data/verbalize_multi.py for es/fr/de/zh/ja) cover the NeMo capability
+    the reference relies on for all six supported languages
+    (text_normalization.py:53-127) so that on an air-gapped image
+    "123 dollars" never trains or serves as raw digits."""
 
     def normalize_with_language(self, text: str, language: str) -> str:
         text = unicodedata.normalize("NFKC", text)
@@ -49,6 +51,10 @@ class BasicTextNormalizer(TextNormalizer):
                 .encode("ascii", "ignore")
                 .decode("ascii")
             )
+        elif language in ("es", "fr", "de", "zh", "ja"):
+            from tts_max_tpu.data.verbalize_multi import expand
+
+            text = expand(text, language)
         return _WS.sub(" ", text).strip()
 
 
