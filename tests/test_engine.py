@@ -446,3 +446,49 @@ def test_paged_sink_block_never_allocated_or_corrupted(setup):
     [rb] = solo.generate_all([pb], max_new_tokens=40, eos_id=-1)
     np.testing.assert_array_equal(done[b].tokens, rb.tokens)
     assert len(done[a].tokens) == 64 - len(pa)
+
+
+def test_engine_warmup_compiles_and_preserves_state(setup):
+    """warmup() pre-compiles every (bucket, group) prefill variant + the
+    decode program without perturbing results: a post-warmup engine must
+    produce the same tokens as a cold one, and warmup must populate the
+    prefill program cache."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    prompts = [np.array([i + 1, i + 2, i + 3], dtype=np.int32)
+               for i in range(3)]
+    cold = PagedInferenceEngine(params, cfg, max_batch=2, max_len=128,
+                                block_size=64, sp=_greedy_sp(),
+                                enable_prefix_cache=True)
+    want = cold.generate_all(prompts, max_new_tokens=5, eos_id=-1)
+
+    warm = PagedInferenceEngine(params, cfg, max_batch=2, max_len=128,
+                                block_size=64, sp=_greedy_sp(),
+                                enable_prefix_cache=True)
+    warm.warmup(prompt_buckets=(64,))
+    assert len(warm._prefill_cache) == len(warm.prefill_group_sizes)
+    # warmup wrote only to the sink block / idle regions: free list intact
+    assert sorted(warm._free_blocks) == list(range(1, warm.num_blocks))
+    got = warm.generate_all(prompts, max_new_tokens=5, eos_id=-1)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w.tokens, g.tokens)
+
+
+def test_engine_batched_admission_groups(setup):
+    """A burst of queued requests admits through grouped prefill (one
+    device call per group) and still matches solo outputs exactly."""
+    cfg, params = setup
+    prompts = [np.array([7 * i + 1, 7 * i + 2], dtype=np.int32)
+               for i in range(6)]
+    eng = InferenceEngine(params, cfg, max_batch=6, max_len=128,
+                          sp=_greedy_sp(), prefill_group_sizes=(4, 2, 1))
+    done = {c.request_id: c for c in eng.generate_all(
+        prompts, max_new_tokens=5, eos_id=-1)}
+    # grouped programs were compiled (6 = 4 + 2)
+    assert {k[1] for k in eng._prefill_cache} == {4, 2}
+    for i, p in enumerate(prompts):
+        solo = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                               sp=_greedy_sp())
+        [r] = solo.generate_all([p], max_new_tokens=5, eos_id=-1)
+        np.testing.assert_array_equal(done[i].tokens, r.tokens)

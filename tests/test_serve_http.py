@@ -29,7 +29,7 @@ def http_server(tmp_path_factory):
         model_dir=model_dir, codec_decoder="", codec_encoder="",
         max_batch=2, max_len=256, block_size=64, max_tokens=8,
         quantize="", quantized_kv=False, no_constrain=False,
-        steps_per_dispatch=4,
+        steps_per_dispatch=4, no_warmup=True,
     )
     server = serve_http.build_server(args)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_http.make_handler(server))

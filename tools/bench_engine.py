@@ -142,10 +142,16 @@ def main():
             budgets.append(int(rng.integers(args.budget // 2, args.budget)))
         return prompts, budgets
 
-    # warmup: compile every prefill bucket + the decode program
-    wp, wb = make_load(min(8, args.requests), 10_000)
+    # warmup: compile every (bucket, group-size) prefill variant + the
+    # decode program via the engine's vLLM-style warmup, then flush any
+    # residual programs with a tiny real load
     print("bench_engine: warmup/compile ...", file=sys.stderr, flush=True)
+    t_w = time.perf_counter()
+    engine.warmup(prompt_buckets=(64, 128, 256))
+    wp, wb = make_load(min(4, args.requests), 10_000)
     run_load(engine, wp, [8] * len(wp), seed=10_000)
+    print(f"bench_engine: warmup took {time.perf_counter() - t_w:.1f}s",
+          file=sys.stderr, flush=True)
 
     prompts, budgets = make_load(args.requests, 0)
     print(

@@ -84,6 +84,8 @@ def main(argv=None):
         "amortizes the ~28ms host round-trip and is required for int4 "
         "weights to run at speed; a freed slot idles at most K-1 steps",
     )
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip the startup compile warmup")
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
     setup_logging(0)
@@ -119,6 +121,12 @@ def main(argv=None):
         vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
     )
+
+    if not args.no_warmup:
+        log.info("Warmup: compiling prefill/decode programs ...")
+        t_w = time.perf_counter()
+        engine.warmup()
+        log.info("Warmup done in %.1fs", time.perf_counter() - t_w)
 
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]
     default_sp = SamplingParams()

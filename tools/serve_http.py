@@ -248,6 +248,11 @@ def build_server(args) -> TtsServer:
         enable_prefix_cache=True, vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
     )
+    if not getattr(args, "no_warmup", False):
+        log.info("Warmup: compiling prefill/decode programs ...")
+        t_w = time.time()
+        engine.warmup()
+        log.info("Warmup done in %.1fs", time.time() - t_w)
     return TtsServer(engine, tokenizer, sv, encoder, decoder,
                      args.max_tokens, args.max_len)
 
@@ -270,6 +275,8 @@ def main(argv=None):
                         choices=["", "int8", "int4", "int4-g64", "int4-g128"])
     parser.add_argument("--quantized_kv", action="store_true")
     parser.add_argument("--no_constrain", action="store_true")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip the startup compile warmup")
     parser.add_argument(
         "--steps_per_dispatch", type=int, default=16,
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "

@@ -90,6 +90,7 @@ class InferenceEngine:
         vocab_window: tuple[int, int] | None = None,
         max_top_k: int = 64,
         steps_per_dispatch: int = 1,
+        prefill_group_sizes: tuple[int, ...] = (8, 4, 2, 1),
     ):
         self.params = params
         self.cfg = cfg
@@ -99,26 +100,44 @@ class InferenceEngine:
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
         self.steps_per_dispatch = steps_per_dispatch
+        # Batched admission: queued requests prefill together in groups of
+        # these sizes (largest fitting first; must include 1). Each batch-1
+        # prefill costs a full host->device round-trip (~30 ms on a relayed
+        # TPU) plus an un-amortized weight sweep; grouping is what makes a
+        # saturation burst of admissions cheap (vLLM batches its prefills
+        # for the same reason).
+        self.prefill_group_sizes = tuple(
+            sorted({g for g in prefill_group_sizes if g <= max_batch} | {1},
+                   reverse=True)
+        )
         # Constrain sampling to a contiguous vocab window (lo, size) —
         # SpeechVocab.generation_window() for TTS serving. Logits / penalty
         # buffers shrink to window size; emitted ids stay global.
         self.vocab_window = vocab_window
         logits_width = vocab_window[1] if vocab_window else cfg.vocab_size
 
+        # device-owned state (mutated in-program by prefill/decode)
         self.cache = self._make_cache()
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.last_logits = jnp.zeros((max_batch, logits_width), jnp.float32)
         self.active = jnp.zeros((max_batch,), dtype=bool)
         self.token_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
         self.gen_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
-        self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
-        self.budgets = jnp.zeros((max_batch,), jnp.int32)
-        self.min_tokens = jnp.zeros((max_batch,), jnp.int32)
-        self.prompt_lens = jnp.zeros((max_batch,), jnp.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
-        # one row of sampling params per slot (per-request overrides)
-        self.bsp = sampling.BatchedSamplingParams.broadcast(
+        # host-owned per-slot metadata (changes only at admission; shipped to
+        # the device as small per-dispatch args — in-place numpy writes cost
+        # nothing, unlike a .at[].set dispatch per field per admission)
+        self.eos_ids = np.full((max_batch,), -1, np.int32)
+        self.budgets = np.zeros((max_batch,), np.int32)
+        self.min_tokens = np.zeros((max_batch,), np.int32)
+        self.prompt_lens = np.zeros((max_batch,), np.int32)
+        # one row of sampling params per slot (per-request overrides),
+        # host-side for the same reason
+        bsp = sampling.BatchedSamplingParams.broadcast(
             sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
+        )
+        self.bsp = jax.tree_util.tree_map(
+            lambda x: np.array(x, copy=True), bsp
         )
 
         from tts_max_tpu.models.quantization import is_packed4
@@ -257,74 +276,194 @@ class InferenceEngine:
         """Block table for paged subclasses; None selects contiguous decode."""
         return None
 
-    def _prefill_fn(self, bucket: int):
-        if bucket not in self._prefill_cache:
+    def _prefill_fn(self, bucket: int, k: int):
+        """One jitted program per (prompt bucket, group size): prefill ``k``
+        prompts together and scatter every per-slot admission state row —
+        KV region, first logits, lengths, active, counters, RNG keys — in
+        the same program (one device round-trip per admitted GROUP)."""
+        key = (bucket, k)
+        if key not in self._prefill_cache:
 
-            def fn(params, cache, tokens, length, slot, token_counts):
-                # batch-1 prefill into a fresh region, scattered into the pool
+            def fn(params, cache, tokens, ns, slots, seeds, last_logits,
+                   lengths, active, token_counts, gen_counts, rngs, *extra):
                 small = llama.init_kv_cache(
-                    self.cfg, 1, bucket, quantized=self.quantized_kv
+                    self.cfg, k, bucket, quantized=self.quantized_kv
                 )
                 logits, small = llama.prefill(
-                    params, self.cfg, tokens, length, small,
+                    params, self.cfg, tokens, ns, small,
                     logits_head=self._logits_head(params),
                 )
-                cache = llama.update_cache_slice(cache, small, 0, slot, 0)
-                mask = jnp.arange(bucket)[None, :] < length[:, None]
-                counts = self._prompt_counts(tokens, mask)
-                token_counts = jax.lax.dynamic_update_slice(
-                    token_counts, counts, (slot, 0)
+                cache = self._scatter_prefill(
+                    cache, small, slots, bucket, *extra
                 )
-                return logits[0], cache, token_counts
+                mask = jnp.arange(bucket)[None, :] < ns[:, None]
+                counts = self._prompt_counts(tokens, mask)
+                token_counts = token_counts.at[slots].set(counts)
+                gen_counts = gen_counts.at[slots].set(0)
+                last_logits = last_logits.at[slots].set(logits)
+                lengths = lengths.at[slots].set(ns)
+                active = active.at[slots].set(True)
+                keys = jnp.stack(
+                    [jnp.zeros_like(seeds), seeds], axis=-1
+                ).astype(jnp.uint32)  # == PRNGKey(seed) for 32-bit seeds
+                rngs = rngs.at[slots].set(keys)
+                return (cache, last_logits, lengths, active, token_counts,
+                        gen_counts, rngs)
 
-            self._prefill_cache[bucket] = jax.jit(fn)
-        return self._prefill_cache[bucket]
+            self._prefill_cache[key] = jax.jit(fn)
+        return self._prefill_cache[key]
 
-    def _prefill_slot(self, slot_idx: int, req: Request, padded, n: int,
-                      bucket: int):
-        logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
-            self.params,
-            self.cache,
-            jnp.asarray(padded),
-            jnp.asarray([n], jnp.int32),
-            slot_idx,
-            self.token_counts,
+    def _scatter_prefill(self, cache, small, slots, bucket: int, *extra):
+        """Write small cache rows into pool slots (contiguous layout)."""
+        return jax.tree.map(
+            lambda big, little: big.at[:, slots, :bucket].set(
+                little.astype(big.dtype)
+            ),
+            cache, small,
         )
-        return logits
+
+    def _prepare_slot(self, slot_idx: int, req: Request) -> dict:
+        """Reserve host-side resources for an admission (paged: KV blocks).
+        Runs BEFORE the device prefill so later _can_admit calls in the same
+        batch see the truth."""
+        return {}
+
+    def _wants_suffix(self, req: Request) -> bool:
+        """True when this request must take the batch-1 prefix-cache path."""
+        return False
+
+    def _register_prefix(self, slot_idx: int, req: Request, ctx: dict):
+        pass
+
+    def _group_scatter_args(self, items, bucket: int) -> tuple:
+        return ()
+
+    def _activate_host(self, slot_idx: int, req: Request) -> None:
+        self.eos_ids[slot_idx] = req.eos_id
+        self.budgets[slot_idx] = req.max_new_tokens
+        self.min_tokens[slot_idx] = req.min_tokens
+        self.prompt_lens[slot_idx] = len(req.prompt_tokens)
+        sp = req.sampling or self.sp
+        b = self.bsp
+        b.temperature[slot_idx] = sp.temperature
+        b.top_k[slot_idx] = sp.top_k
+        b.top_p[slot_idx] = sp.top_p
+        b.repetition_penalty[slot_idx] = sp.repetition_penalty
+        b.frequency_penalty[slot_idx] = sp.frequency_penalty
+        if sp.top_p < 1.0 and not b.use_top_p:
+            import dataclasses
+
+            self.bsp = dataclasses.replace(b, use_top_p=True)
+        slot = self._slots[slot_idx]
+        slot.request = req
+        slot.generated = []
+
+    def _prefill_group(self, items: list[tuple[int, "Request", dict]]) -> None:
+        """One batched device prefill for ``items`` (all plain, non-prefix
+        admissions), then host-side activation."""
+        step = self._bucket_step()
+        bucket = max(
+            _bucket(len(r.prompt_tokens), step) for _, r, _ in items
+        )
+        k = len(items)
+        padded = np.zeros((k, bucket), dtype=np.int32)
+        ns = np.zeros((k,), dtype=np.int32)
+        for row, (_, req, _) in enumerate(items):
+            n = len(req.prompt_tokens)
+            padded[row, :n] = req.prompt_tokens
+            ns[row] = n
+        slots = np.asarray([s for s, _, _ in items], dtype=np.int32)
+        seeds = np.asarray(
+            [r.sampling_seed & 0xFFFFFFFF for _, r, _ in items],
+            dtype=np.uint32,
+        ).astype(np.int32)
+        extra = self._group_scatter_args(items, bucket)
+        (self.cache, self.last_logits, self.lengths, self.active,
+         self.token_counts, self.gen_counts, self.rngs) = self._prefill_fn(
+            bucket, k
+        )(
+            self.params, self.cache, padded, ns, slots, seeds,
+            self.last_logits, self.lengths, self.active, self.token_counts,
+            self.gen_counts, self.rngs, *extra,
+        )
+        for slot_idx, req, ctx in items:
+            self._register_prefix(slot_idx, req, ctx)
+            self._activate_host(slot_idx, req)
+
+    def _admit_suffix(self, slot_idx: int, req: Request) -> None:
+        raise NotImplementedError  # paged-only path
 
     def _admit(self) -> None:
-        for slot_idx, slot in enumerate(self._slots):
-            if slot.request is not None or not self._queue:
-                continue
-            req = self._queue[0]
-            n = len(req.prompt_tokens)
-            if n + req.max_new_tokens > self.max_len:
+        while self._queue:
+            free = [i for i, s in enumerate(self._slots) if s.request is None]
+            if not free:
+                return
+            head = self._queue[0]
+            n = len(head.prompt_tokens)
+            if n + head.max_new_tokens > self.max_len:
                 self._queue.popleft()
                 raise ValueError(
-                    f"request {req.request_id}: prompt {n} + budget "
-                    f"{req.max_new_tokens} exceeds max_len {self.max_len}"
+                    f"request {head.request_id}: prompt {n} + budget "
+                    f"{head.max_new_tokens} exceeds max_len {self.max_len}"
                 )
-            if not self._can_admit(req):
-                break  # FIFO: wait for resources rather than skip ahead
-            self._queue.popleft()
-            bucket = _bucket(n, self._bucket_step())
-            padded = np.zeros((1, bucket), dtype=np.int32)
-            padded[0, :n] = req.prompt_tokens
-            logits = self._prefill_slot(slot_idx, req, padded, n, bucket)
-            self.last_logits = self.last_logits.at[slot_idx].set(logits)
-            self.lengths = self.lengths.at[slot_idx].set(n)
-            self.active = self.active.at[slot_idx].set(True)
-            self.gen_counts = self.gen_counts.at[slot_idx].set(0)
-            self.eos_ids = self.eos_ids.at[slot_idx].set(req.eos_id)
-            self.budgets = self.budgets.at[slot_idx].set(req.max_new_tokens)
-            self.min_tokens = self.min_tokens.at[slot_idx].set(req.min_tokens)
-            self.prompt_lens = self.prompt_lens.at[slot_idx].set(n)
-            self.rngs = self.rngs.at[slot_idx].set(
-                jax.random.PRNGKey(req.sampling_seed)
-            )
-            self.bsp = self.bsp.set_row(slot_idx, req.sampling or self.sp)
-            slot.request = req
-            slot.generated = []
+            if not self._can_admit(head):
+                return  # FIFO: wait for resources rather than skip ahead
+            if self._wants_suffix(head):
+                self._queue.popleft()
+                self._admit_suffix(free[0], head)
+                continue
+            # pull a FIFO run of plain admissible requests; resources are
+            # reserved per-request (so _can_admit stays truthful mid-batch)
+            group: list[tuple[int, Request, dict]] = []
+            cap = min(len(free), max(self.prefill_group_sizes))
+            while self._queue and len(group) < cap:
+                req = self._queue[0]
+                if (len(req.prompt_tokens) + req.max_new_tokens
+                        > self.max_len):
+                    break  # raised on the next outer iteration
+                if self._wants_suffix(req) or not self._can_admit(req):
+                    break
+                self._queue.popleft()
+                slot_idx = free[len(group)]
+                ctx = self._prepare_slot(slot_idx, req)
+                group.append((slot_idx, req, ctx))
+            i = 0
+            while i < len(group):
+                g = next(
+                    s for s in self.prefill_group_sizes
+                    if s <= len(group) - i
+                )
+                self._prefill_group(group[i : i + g])
+                i += g
+
+    def warmup(self, prompt_buckets: tuple[int, ...] = (64, 256)) -> None:
+        """Compile every program the serving loop will hit (vLLM-style
+        startup warmup): each (prompt bucket, group size) prefill variant
+        plus the decode program. Dummy prefill outputs are discarded (the
+        functions are pure); the decode warmup runs one real dispatch over
+        the all-idle pool, which is harmless — idle slots' KV writes land in
+        their own masked region (contiguous) or the reserved sink block 0
+        (paged)."""
+        step = self._bucket_step()
+        buckets = sorted({_bucket(b, step) for b in prompt_buckets})
+        for bucket in buckets:
+            for g in self.prefill_group_sizes:
+                fn = self._prefill_fn(bucket, g)
+                tokens = np.zeros((g, bucket), np.int32)
+                ns = np.full((g,), 1, np.int32)
+                slots = np.zeros((g,), np.int32)
+                seeds = np.zeros((g,), np.int32)
+                extra = self._warmup_scatter_args(g, bucket)
+                out = fn(
+                    self.params, self.cache, tokens, ns, slots, seeds,
+                    self.last_logits, self.lengths, self.active,
+                    self.token_counts, self.gen_counts, self.rngs, *extra,
+                )
+                np.asarray(out[2])  # fetch a small leaf: forces completion
+        self._run_decode()  # compiles + runs the decode program (no-op pool)
+
+    def _warmup_scatter_args(self, g: int, bucket: int) -> tuple:
+        return ()
 
     def _bucket_step(self) -> int:
         return 64
@@ -704,39 +843,83 @@ class PagedInferenceEngine(InferenceEngine):
     def _table_device(self):
         return jnp.asarray(self._table)
 
-    def _prefill_fn(self, bucket: int):
-        if bucket not in self._prefill_cache:
+    def _scatter_prefill(self, cache, small, slots, bucket: int, *extra):
+        """Scatter small cache rows through per-row block tables [k, nb].
+        Rows whose request owns fewer than ``nb`` blocks route the surplus
+        bucket padding to the reserved sink block 0."""
+        (tables,) = extra
+        bs = self.block_size
+        nb = bucket // bs
 
-            def fn(params, cache, tokens, length, block_ids, slot,
-                   token_counts):
-                small = llama.init_kv_cache(
-                    self.cfg, 1, bucket, quantized=self.quantized_kv
-                )
-                logits, small = llama.prefill(
-                    params, self.cfg, tokens, length, small,
-                    logits_head=self._logits_head(params),
-                )
-                cache = llama.scatter_prefill_to_blocks(cache, small, block_ids)
-                mask = jnp.arange(bucket)[None, :] < length[:, None]
-                counts = self._prompt_counts(tokens, mask)
-                token_counts = jax.lax.dynamic_update_slice(
-                    token_counts, counts, (slot, 0)
-                )
-                return logits[0], cache, token_counts
+        def scatter(big, little):
+            lit = little.reshape(
+                little.shape[0], little.shape[1], nb, bs, *little.shape[3:]
+            )
+            return big.at[:, tables].set(lit.astype(big.dtype))
 
-            self._prefill_cache[bucket] = jax.jit(fn)
-        return self._prefill_cache[bucket]
+        return jax.tree.map(scatter, cache, small)
+
+    def _prepare_slot(self, slot_idx: int, req: Request) -> dict:
+        """Allocate this request's KV blocks and point its table row at
+        them (host state only — the KV itself is written by the group's
+        device prefill that follows)."""
+        hashes, m = self._prefix_hits(req)
+        reused = [self._block_of[h] for h in hashes[:m]]
+        for blk in reused:
+            if self._refs[blk] == 0:
+                self._evictable.pop(blk, None)
+            self._refs[blk] += 1
+        fresh = [self._alloc_block()
+                 for _ in range(self._blocks_needed(req) - m)]
+        for blk in fresh:
+            self._refs[blk] += 1
+        blocks = reused + fresh
+        self._slot_blocks[slot_idx] = blocks
+        self._table[slot_idx] = 0
+        self._table[slot_idx, : len(blocks)] = blocks
+        return {"hashes": hashes, "m": m, "reused": reused, "blocks": blocks}
+
+    def _wants_suffix(self, req: Request) -> bool:
+        return self._prefix_hits(req)[1] > 0
+
+    def _register_prefix(self, slot_idx: int, req: Request, ctx: dict):
+        if not self.enable_prefix_cache:
+            return
+        m, hashes, blocks = ctx["m"], ctx["hashes"], ctx["blocks"]
+        self.prefix_cache_hits += m
+        covered = len(req.prompt_tokens) // self.block_size  # FULL blocks
+        self.prefix_cache_misses += covered - m
+        for i in range(m, covered):
+            h = hashes[i]
+            if h not in self._block_of:
+                self._block_of[h] = blocks[i]
+                self._hash_of[blocks[i]] = h
+
+    def _group_scatter_args(self, items, bucket: int) -> tuple:
+        nb = bucket // self.block_size
+        tables = np.zeros((len(items), nb), dtype=np.int32)
+        for row, (_, _, ctx) in enumerate(items):
+            blocks = ctx["blocks"][:nb]
+            tables[row, : len(blocks)] = blocks  # remainder -> sink block 0
+        return (tables,)
+
+    def _warmup_scatter_args(self, g: int, bucket: int) -> tuple:
+        # all-zero tables: warmup KV lands in the sink block
+        return (np.zeros((g, bucket // self.block_size), dtype=np.int32),)
 
     def _suffix_prefill_fn(self, m: int, bucket: int, suffix_bucket: int):
         """One program per (cached-prefix blocks, suffix bucket): gather the
         shared prefix KV from the pool, forward ONLY the suffix through
-        decode_window, scatter the new blocks back."""
+        decode_window, scatter the new blocks back, and write every per-slot
+        admission state row in the same program."""
         key = (m, suffix_bucket)
         if key not in self._suffix_prefill_cache:
             prefix_len = m * self.block_size
 
             def fn(params, cache, prompt_tokens, length, suffix_tokens,
-                   suffix_len, prefix_blocks, new_blocks, slot, token_counts):
+                   suffix_len, prefix_blocks, new_blocks, slot, seed,
+                   last_logits, lengths, active, token_counts, gen_counts,
+                   rngs):
                 small = llama.gather_blocks_to_cache(cache, prefix_blocks)
                 small = llama.grow_cache(small, prefix_len + suffix_bucket)
                 logits, small = llama.decode_window(
@@ -755,66 +938,44 @@ class PagedInferenceEngine(InferenceEngine):
                 token_counts = jax.lax.dynamic_update_slice(
                     token_counts, counts, (slot, 0)
                 )
-                return last[0], cache, token_counts
+                gen_counts = gen_counts.at[slot].set(0)
+                last_logits = last_logits.at[slot].set(last[0])
+                lengths = lengths.at[slot].set(length[0])
+                active = active.at[slot].set(True)
+                key_arr = jnp.stack(
+                    [jnp.zeros_like(seed), seed]
+                ).astype(jnp.uint32)
+                rngs = rngs.at[slot].set(key_arr)
+                return (cache, last_logits, lengths, active, token_counts,
+                        gen_counts, rngs)
 
             self._suffix_prefill_cache[key] = jax.jit(fn)
         return self._suffix_prefill_cache[key]
 
-    def _prefill_slot(self, slot_idx: int, req: Request, padded, n: int,
-                      bucket: int):
-        bs = self.block_size
-        hashes, m = self._prefix_hits(req)
-        reused = [self._block_of[h] for h in hashes[:m]]
-        for blk in reused:
-            if self._refs[blk] == 0:
-                self._evictable.pop(blk, None)
-            self._refs[blk] += 1
-        fresh = [self._alloc_block()
-                 for _ in range(self._blocks_needed(req) - m)]
-        for blk in fresh:
-            self._refs[blk] += 1
-        blocks = reused + fresh
-        self._slot_blocks[slot_idx] = blocks
-        self._table[slot_idx] = 0
-        self._table[slot_idx, : len(blocks)] = blocks
-
-        if m == 0:
-            prefill_blocks = jnp.asarray(blocks[: bucket // bs], jnp.int32)
-            logits, self.cache, self.token_counts = self._prefill_fn(bucket)(
+    def _admit_suffix(self, slot_idx: int, req: Request) -> None:
+        ctx = self._prepare_slot(slot_idx, req)
+        m, bs = ctx["m"], self.block_size
+        n = len(req.prompt_tokens)
+        bucket = _bucket(n, self._bucket_step())
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :n] = req.prompt_tokens
+        suffix_bucket = bucket - m * bs
+        (self.cache, self.last_logits, self.lengths, self.active,
+         self.token_counts, self.gen_counts, self.rngs) = (
+            self._suffix_prefill_fn(m, bucket, suffix_bucket)(
                 self.params,
                 self.cache,
-                jnp.asarray(padded),
-                jnp.asarray([n], jnp.int32),
-                prefill_blocks,
+                padded,
+                np.asarray([n], np.int32),
+                padded[:, m * bs : bucket],
+                np.asarray([n - m * bs], np.int32),
+                np.asarray(ctx["reused"], np.int32),
+                np.asarray(ctx["blocks"][m : bucket // bs], np.int32),
                 slot_idx,
-                self.token_counts,
+                np.int32(req.sampling_seed & 0x7FFFFFFF),
+                self.last_logits, self.lengths, self.active,
+                self.token_counts, self.gen_counts, self.rngs,
             )
-        else:
-            suffix_bucket = bucket - m * bs
-            new_prompt_blocks = jnp.asarray(
-                blocks[m : bucket // bs], jnp.int32
-            )
-            logits, self.cache, self.token_counts = self._suffix_prefill_fn(
-                m, bucket, suffix_bucket
-            )(
-                self.params,
-                self.cache,
-                jnp.asarray(padded),
-                jnp.asarray([n], jnp.int32),
-                jnp.asarray(padded[:, m * bs : bucket]),
-                jnp.asarray([n - m * bs], jnp.int32),
-                jnp.asarray(reused, jnp.int32),
-                new_prompt_blocks,
-                slot_idx,
-                self.token_counts,
-            )
-        if self.enable_prefix_cache:
-            self.prefix_cache_hits += m
-            covered = n // bs  # FULL prompt blocks only
-            self.prefix_cache_misses += covered - m
-            for i in range(m, covered):
-                h = hashes[i]
-                if h not in self._block_of:
-                    self._block_of[h] = blocks[i]
-                    self._hash_of[blocks[i]] = h
-        return logits
+        )
+        self._register_prefix(slot_idx, req, ctx)
+        self._activate_host(slot_idx, req)
