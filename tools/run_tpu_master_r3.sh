@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-3 serialized TPU measurement master: engine suite -> train sweep ->
+# quant quality -> codec act1d kernel A/B -> full train demo.
+set -u
+cd /root/repo
+LOG=bench_logs/tpu_queue.log
+bash tools/run_tpu_bench_queue.sh "$LOG"
+echo "=== $(date +%H:%M:%S) codec encode A/B: XLA conv vs Pallas act1d" | tee -a "$LOG"
+timeout 1800 python tools/bench_codec.py encode --batch 8 --seconds 10 2>&1 | tail -3 | tee -a "$LOG"
+TTS_MAX_PALLAS_ACT1D=1 timeout 1800 python tools/bench_codec.py encode --batch 8 --seconds 10 2>&1 | tail -3 | tee -a "$LOG"
+echo "=== $(date +%H:%M:%S) TPU train demo (300 steps + resume)" | tee -a "$LOG"
+bash tools/run_tpu_train_demo.sh /tmp/train_demo 2>&1 | tail -25 | tee -a bench_logs/train_demo.log
+echo "=== MASTER DONE $(date +%H:%M:%S)" | tee -a "$LOG"

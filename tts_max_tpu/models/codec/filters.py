@@ -193,6 +193,12 @@ def init_snake_beta(channels: int, dtype=jnp.float32):
     return {"alpha": jnp.zeros((channels,), dtype), "beta": jnp.zeros((channels,), dtype)}
 
 
+def _pallas_act1d_enabled() -> bool:
+    import os
+
+    return os.environ.get("TTS_MAX_PALLAS_ACT1D", "0") == "1"
+
+
 def activation1d(x: jnp.ndarray, p, up_ratio: int = 2, down_ratio: int = 2,
                  up_kernel: int = 12, down_kernel: int = 12,
                  fused: bool | None = None) -> jnp.ndarray:
@@ -204,11 +210,22 @@ def activation1d(x: jnp.ndarray, p, up_ratio: int = 2, down_ratio: int = 2,
     terrible at tiny depthwise convs), the dilated-conv composition on TPU
     (Mosaic's native conv lowering beats the slice chains: 397 vs 293
     audio-sec/s on the full acoustic encoder, measured). Equivalence is
-    pinned by tests."""
+    pinned by tests.
+
+    ``TTS_MAX_PALLAS_ACT1D=1`` routes the TPU path through the fused Pallas
+    kernel (ops/pallas_act1d.py: one VMEM pass, no 2×-rate HBM round-trips)
+    — inference-only (no VJP)."""
+    standard = (up_ratio == 2 and down_ratio == 2 and up_kernel == 12
+                and down_kernel == 12)
     if fused is None:
-        fused = jax.default_backend() == "cpu"
-    if fused and up_ratio == 2 and down_ratio == 2 and up_kernel == 12 \
-            and down_kernel == 12:
+        backend = jax.default_backend()
+        fused = backend == "cpu"
+        if (standard and x.ndim == 3 and backend != "cpu"
+                and _pallas_act1d_enabled()):
+            from tts_max_tpu.ops.pallas_act1d import activation1d_pallas
+
+            return activation1d_pallas(x, p)
+    if fused and standard:
         return activation1d_fused(x, p)
     x = upsample1d(x, up_ratio, up_kernel)
     x = snake_beta(x, p["alpha"], p["beta"])

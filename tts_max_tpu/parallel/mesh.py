@@ -100,10 +100,16 @@ def initialize_distributed() -> EnvironmentContext:
                 num_processes=int(nproc),
                 process_id=int(pid),
             )
-        elif int(os.environ.get("SLURM_NTASKS", "1")) > 1 or os.environ.get(
-            "TPU_WORKER_HOSTNAMES"
-        ):
-            jax.distributed.initialize()  # SLURM / TPU-pod auto-detection
+        elif int(os.environ.get("SLURM_NTASKS", "1")) > 1 or len(
+            os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        ) > 1:
+            # SLURM / TPU-pod auto-detection. A single-entry
+            # TPU_WORKER_HOSTNAMES (e.g. "localhost" on a 1-host relay) is
+            # NOT a pod; initialize() would fail wanting a coordinator.
+            try:
+                jax.distributed.initialize()
+            except ValueError:
+                pass  # auto-detection incomplete -> single-process
     except RuntimeError as e:  # pragma: no cover - double-init guard
         if "already" not in str(e).lower():
             raise
