@@ -94,10 +94,20 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--model_dir", default="",
                     help="real checkpoint (HF dir) instead of random init")
+    ap.add_argument("--fixture", action="store_true",
+                    help="use the trained anchor fixture "
+                    "(tests/fixtures/quant_anchor.npz): decisive logit "
+                    "margins, so top1/div@ are meaningful unlike random "
+                    "init")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    if args.model_dir:
+    if args.fixture:
+        from tests.fixtures.load_quant_anchor import load_anchor
+
+        params, cfg = load_anchor(dtype=jnp.bfloat16)
+        args.arch = "anchor-fixture"
+    elif args.model_dir:
         from tts_max_tpu.models import hf_import
 
         params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
@@ -114,18 +124,27 @@ def main():
         )(jax.random.PRNGKey(args.seed))
 
     rng = np.random.default_rng(args.seed)
-    tokens = jnp.asarray(
-        rng.integers(3, cfg.vocab_size, (args.batch, args.prompt)), jnp.int32
-    )
+    if args.fixture:
+        from tests.fixtures.load_quant_anchor import make_anchor_prompts
+
+        tokens = jnp.asarray(
+            make_anchor_prompts(args.batch, args.prompt, cfg.vocab_size,
+                                args.seed)
+        )
+    else:
+        tokens = jnp.asarray(
+            rng.integers(3, cfg.vocab_size, (args.batch, args.prompt)),
+            jnp.int32,
+        )
     lengths = jnp.full((args.batch,), args.prompt, jnp.int32)
 
     print(
         f"quant_quality {args.arch} "
-        f"({'real ckpt' if args.model_dir else 'random init'}), "
+        f"({'anchor fixture' if args.fixture else 'real ckpt' if args.model_dir else 'random init'}), "
         f"{args.batch}x{args.prompt} prompts, {args.steps} greedy steps",
         flush=True,
     )
-    if not args.model_dir:
+    if not args.model_dir and not args.fixture:
         print(
             "NOTE: random-init weights have near-zero logit margins, so "
             "top1/div@ are chaotic lower bounds at >tiny scale; hidden-state "
