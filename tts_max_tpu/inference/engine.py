@@ -116,7 +116,12 @@ class InferenceEngine:
         self.vocab_window = vocab_window
         logits_width = vocab_window[1] if vocab_window else cfg.vocab_size
 
-        # device-owned state (mutated in-program by prefill/decode)
+        # Device-owned state. ALL per-slot state lives on-device and is
+        # updated INSIDE the prefill/decode programs: on a relayed TPU every
+        # separate host<->device transfer is a ~30 ms round-trip, so
+        # admission scatters its rows inside the prefill dispatch and the
+        # decode dispatch returns one packed host blob (tokens + emitted +
+        # active) instead of three fetches.
         self.cache = self._make_cache()
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.last_logits = jnp.zeros((max_batch, logits_width), jnp.float32)
@@ -124,20 +129,13 @@ class InferenceEngine:
         self.token_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
         self.gen_counts = jnp.zeros((max_batch, logits_width), jnp.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(0), max_batch)
-        # host-owned per-slot metadata (changes only at admission; shipped to
-        # the device as small per-dispatch args — in-place numpy writes cost
-        # nothing, unlike a .at[].set dispatch per field per admission)
-        self.eos_ids = np.full((max_batch,), -1, np.int32)
-        self.budgets = np.zeros((max_batch,), np.int32)
-        self.min_tokens = np.zeros((max_batch,), np.int32)
-        self.prompt_lens = np.zeros((max_batch,), np.int32)
-        # one row of sampling params per slot (per-request overrides),
-        # host-side for the same reason
-        bsp = sampling.BatchedSamplingParams.broadcast(
+        self.eos_ids = jnp.full((max_batch,), -1, jnp.int32)
+        self.budgets = jnp.zeros((max_batch,), jnp.int32)
+        self.min_tokens = jnp.zeros((max_batch,), jnp.int32)
+        self.prompt_lens = jnp.zeros((max_batch,), jnp.int32)
+        # one row of sampling params per slot (per-request overrides)
+        self.bsp = sampling.BatchedSamplingParams.broadcast(
             sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
-        )
-        self.bsp = jax.tree_util.tree_map(
-            lambda x: np.array(x, copy=True), bsp
         )
 
         from tts_max_tpu.models.quantization import is_packed4
@@ -279,13 +277,19 @@ class InferenceEngine:
     def _prefill_fn(self, bucket: int, k: int):
         """One jitted program per (prompt bucket, group size): prefill ``k``
         prompts together and scatter every per-slot admission state row —
-        KV region, first logits, lengths, active, counters, RNG keys — in
-        the same program (one device round-trip per admitted GROUP)."""
+        KV region, first logits, lengths, active, counters, RNG keys, and
+        the request metadata (eos/budget/min_tokens/sampling rows) — in the
+        same program (one device round-trip per admitted GROUP, nothing
+        fetched back)."""
         key = (bucket, k)
         if key not in self._prefill_cache:
 
-            def fn(params, cache, tokens, ns, slots, seeds, last_logits,
-                   lengths, active, token_counts, gen_counts, rngs, *extra):
+            def fn(params, cache, tokens, ns, slots, seeds, meta_rows,
+                   last_logits, lengths, active, token_counts, gen_counts,
+                   rngs, eos_ids, budgets, min_tokens, prompt_lens, bsp,
+                   *extra):
+                import dataclasses
+
                 small = llama.init_kv_cache(
                     self.cfg, k, bucket, quantized=self.quantized_kv
                 )
@@ -307,11 +311,54 @@ class InferenceEngine:
                     [jnp.zeros_like(seeds), seeds], axis=-1
                 ).astype(jnp.uint32)  # == PRNGKey(seed) for 32-bit seeds
                 rngs = rngs.at[slots].set(keys)
+                eos_ids = eos_ids.at[slots].set(meta_rows["eos"])
+                budgets = budgets.at[slots].set(meta_rows["budget"])
+                min_tokens = min_tokens.at[slots].set(meta_rows["min"])
+                prompt_lens = prompt_lens.at[slots].set(ns)
+                bsp = dataclasses.replace(
+                    bsp,
+                    temperature=bsp.temperature.at[slots].set(
+                        meta_rows["temperature"]
+                    ),
+                    top_k=bsp.top_k.at[slots].set(meta_rows["top_k"]),
+                    top_p=bsp.top_p.at[slots].set(meta_rows["top_p"]),
+                    repetition_penalty=bsp.repetition_penalty.at[slots].set(
+                        meta_rows["repetition_penalty"]
+                    ),
+                    frequency_penalty=bsp.frequency_penalty.at[slots].set(
+                        meta_rows["frequency_penalty"]
+                    ),
+                )
                 return (cache, last_logits, lengths, active, token_counts,
-                        gen_counts, rngs)
+                        gen_counts, rngs, eos_ids, budgets, min_tokens,
+                        prompt_lens, bsp)
 
             self._prefill_cache[key] = jax.jit(fn)
         return self._prefill_cache[key]
+
+    def _meta_rows(self, reqs) -> dict:
+        """Per-row request metadata for the admission scatter."""
+
+        def arr(f, dt):
+            return np.asarray([f(r) for r in reqs], dtype=dt)
+
+        def sp_of(r):
+            return r.sampling or self.sp
+
+        return {
+            "eos": arr(lambda r: r.eos_id, np.int32),
+            "budget": arr(lambda r: r.max_new_tokens, np.int32),
+            "min": arr(lambda r: r.min_tokens, np.int32),
+            "temperature": arr(lambda r: sp_of(r).temperature, np.float32),
+            "top_k": arr(lambda r: sp_of(r).top_k, np.int32),
+            "top_p": arr(lambda r: sp_of(r).top_p, np.float32),
+            "repetition_penalty": arr(
+                lambda r: sp_of(r).repetition_penalty, np.float32
+            ),
+            "frequency_penalty": arr(
+                lambda r: sp_of(r).frequency_penalty, np.float32
+            ),
+        }
 
     def _scatter_prefill(self, cache, small, slots, bucket: int, *extra):
         """Write small cache rows into pool slots (contiguous layout)."""
@@ -339,21 +386,12 @@ class InferenceEngine:
         return ()
 
     def _activate_host(self, slot_idx: int, req: Request) -> None:
-        self.eos_ids[slot_idx] = req.eos_id
-        self.budgets[slot_idx] = req.max_new_tokens
-        self.min_tokens[slot_idx] = req.min_tokens
-        self.prompt_lens[slot_idx] = len(req.prompt_tokens)
         sp = req.sampling or self.sp
-        b = self.bsp
-        b.temperature[slot_idx] = sp.temperature
-        b.top_k[slot_idx] = sp.top_k
-        b.top_p[slot_idx] = sp.top_p
-        b.repetition_penalty[slot_idx] = sp.repetition_penalty
-        b.frequency_penalty[slot_idx] = sp.frequency_penalty
-        if sp.top_p < 1.0 and not b.use_top_p:
+        if sp.top_p < 1.0 and not self.bsp.use_top_p:
+            # static flag flip: re-jits the decode program once
             import dataclasses
 
-            self.bsp = dataclasses.replace(b, use_top_p=True)
+            self.bsp = dataclasses.replace(self.bsp, use_top_p=True)
         slot = self._slots[slot_idx]
         slot.request = req
         slot.generated = []
@@ -377,18 +415,21 @@ class InferenceEngine:
             [r.sampling_seed & 0xFFFFFFFF for _, r, _ in items],
             dtype=np.uint32,
         ).astype(np.int32)
+        meta = self._meta_rows([r for _, r, _ in items])
         extra = self._group_scatter_args(items, bucket)
+        for slot_idx, req, ctx in items:
+            self._activate_host(slot_idx, req)  # may flip bsp.use_top_p
         (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs) = self._prefill_fn(
-            bucket, k
-        )(
-            self.params, self.cache, padded, ns, slots, seeds,
+         self.token_counts, self.gen_counts, self.rngs, self.eos_ids,
+         self.budgets, self.min_tokens, self.prompt_lens,
+         self.bsp) = self._prefill_fn(bucket, k)(
+            self.params, self.cache, padded, ns, slots, seeds, meta,
             self.last_logits, self.lengths, self.active, self.token_counts,
-            self.gen_counts, self.rngs, *extra,
+            self.gen_counts, self.rngs, self.eos_ids, self.budgets,
+            self.min_tokens, self.prompt_lens, self.bsp, *extra,
         )
         for slot_idx, req, ctx in items:
             self._register_prefix(slot_idx, req, ctx)
-            self._activate_host(slot_idx, req)
 
     def _admit_suffix(self, slot_idx: int, req: Request) -> None:
         raise NotImplementedError  # paged-only path
@@ -453,11 +494,18 @@ class InferenceEngine:
                 ns = np.full((g,), 1, np.int32)
                 slots = np.zeros((g,), np.int32)
                 seeds = np.zeros((g,), np.int32)
+                dummies = [
+                    Request(-1, np.zeros(1, np.int32), 1, -1)
+                    for _ in range(g)
+                ]
                 extra = self._warmup_scatter_args(g, bucket)
                 out = fn(
                     self.params, self.cache, tokens, ns, slots, seeds,
+                    self._meta_rows(dummies),
                     self.last_logits, self.lengths, self.active,
-                    self.token_counts, self.gen_counts, self.rngs, *extra,
+                    self.token_counts, self.gen_counts, self.rngs,
+                    self.eos_ids, self.budgets, self.min_tokens,
+                    self.prompt_lens, self.bsp, *extra,
                 )
                 np.asarray(out[2])  # fetch a small leaf: forces completion
         self._run_decode()  # compiles + runs the decode program (no-op pool)
@@ -525,7 +573,10 @@ class InferenceEngine:
                 logits_head=head,
             )
         lengths = lengths + inc
-        return toks, logits, cache, lengths, token_counts, gen_counts, rngs
+        # one packed host blob: [2, B] = (tokens, pre-step active mask) —
+        # a single fetch instead of two relay round-trips
+        packed = jnp.stack([toks, active.astype(jnp.int32)])
+        return packed, logits, cache, lengths, token_counts, gen_counts, rngs
 
     def _decode_multi(self, params, cache, last_logits, lengths, active,
                       token_counts, gen_counts, rngs, bsp, eos_ids,
@@ -598,7 +649,13 @@ class InferenceEngine:
         carry, (toks_k, emitted_k) = jax.lax.scan(
             step, carry, None, length=self.steps_per_dispatch
         )
-        return carry + (toks_k, emitted_k)
+        # one packed host blob: [2K+1, B] = (K token rows, K emitted rows,
+        # final active row) — a single fetch instead of three
+        packed = jnp.concatenate(
+            [toks_k, emitted_k.astype(jnp.int32),
+             carry[3].astype(jnp.int32)[None]], axis=0
+        )
+        return carry + (packed,)
 
     def _finish_token(self, slot_idx: int, tok: int) -> bool:
         """Append ``tok`` to the slot; finalize the completion if it ends the
@@ -623,15 +680,18 @@ class InferenceEngine:
 
     def _run_decode_multi(self) -> None:
         (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs, toks_k,
-         emitted_k) = self._decode_k(
+         self.token_counts, self.gen_counts, self.rngs,
+         packed) = self._decode_k(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
             self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
             self.budgets, self._table_device(),
         )
-        toks_np = np.asarray(toks_k)  # [K, B]
-        emitted_np = np.asarray(emitted_k)
+        blob = np.asarray(packed)  # ONE fetch: [2K+1, B]
+        ksteps = self.steps_per_dispatch
+        toks_np = blob[:ksteps]
+        emitted_np = blob[ksteps : 2 * ksteps].astype(bool)
+        active_np = blob[2 * ksteps].astype(bool)
         freed = []
         for i, slot in enumerate(self._slots):
             if slot.request is None:
@@ -645,7 +705,6 @@ class InferenceEngine:
         # the device already flipped finished slots inactive; verify both
         # directions of host/device agreement (a mismatch means budgets/eos
         # drifted between the two and would otherwise spin or drop output)
-        active_np = np.asarray(self.active)
         assert not any(active_np[i] for i in freed), (
             "device/host finish disagreement: host freed a slot the device "
             "still considers active"
@@ -668,7 +727,7 @@ class InferenceEngine:
         if self.steps_per_dispatch > 1:
             self._run_decode_multi()
             return
-        (toks, logits, self.cache, self.lengths, self.token_counts,
+        (packed, logits, self.cache, self.lengths, self.token_counts,
          self.gen_counts, self.rngs) = self._decode(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
@@ -676,8 +735,8 @@ class InferenceEngine:
             self._table_device(),
         )
         self.last_logits = logits
-        toks_np = np.asarray(toks)
-        active_np = np.asarray(self.active)
+        blob = np.asarray(packed)  # ONE fetch: [2, B]
+        toks_np, active_np = blob[0], blob[1].astype(bool)
         for i, slot in enumerate(self._slots):
             if slot.request is None or not active_np[i]:
                 continue
@@ -745,6 +804,8 @@ class PagedInferenceEngine(InferenceEngine):
         self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
         # unallocated entries stay 0 = the sink (attention masks by length)
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
+        self._table_dirty = True
+        self._table_dev = None
         # --- prefix cache state ---
         self.enable_prefix_cache = enable_prefix_cache
         self._refs = np.zeros((self.num_blocks,), dtype=np.int64)
@@ -839,9 +900,14 @@ class PagedInferenceEngine(InferenceEngine):
                     self._free_blocks.append(blk)
         self._slot_blocks[slot_idx] = []
         self._table[slot_idx] = 0
+        self._table_dirty = True
 
     def _table_device(self):
-        return jnp.asarray(self._table)
+        # upload the block table only when it changed, not per dispatch
+        if self._table_dirty:
+            self._table_dev = jnp.asarray(self._table)
+            self._table_dirty = False
+        return self._table_dev
 
     def _scatter_prefill(self, cache, small, slots, bucket: int, *extra):
         """Scatter small cache rows through per-row block tables [k, nb].
@@ -877,6 +943,7 @@ class PagedInferenceEngine(InferenceEngine):
         self._slot_blocks[slot_idx] = blocks
         self._table[slot_idx] = 0
         self._table[slot_idx, : len(blocks)] = blocks
+        self._table_dirty = True
         return {"hashes": hashes, "m": m, "reused": reused, "blocks": blocks}
 
     def _wants_suffix(self, req: Request) -> bool:
@@ -917,9 +984,11 @@ class PagedInferenceEngine(InferenceEngine):
             prefix_len = m * self.block_size
 
             def fn(params, cache, prompt_tokens, length, suffix_tokens,
-                   suffix_len, prefix_blocks, new_blocks, slot, seed,
+                   suffix_len, prefix_blocks, new_blocks, slot, seed, meta,
                    last_logits, lengths, active, token_counts, gen_counts,
-                   rngs):
+                   rngs, eos_ids, budgets, min_tokens, prompt_lens, bsp):
+                import dataclasses
+
                 small = llama.gather_blocks_to_cache(cache, prefix_blocks)
                 small = llama.grow_cache(small, prefix_len + suffix_bucket)
                 logits, small = llama.decode_window(
@@ -946,8 +1015,28 @@ class PagedInferenceEngine(InferenceEngine):
                     [jnp.zeros_like(seed), seed]
                 ).astype(jnp.uint32)
                 rngs = rngs.at[slot].set(key_arr)
+                sl = jnp.asarray([slot])
+                eos_ids = eos_ids.at[sl].set(meta["eos"])
+                budgets = budgets.at[sl].set(meta["budget"])
+                min_tokens = min_tokens.at[sl].set(meta["min"])
+                prompt_lens = prompt_lens.at[sl].set(length)
+                bsp = dataclasses.replace(
+                    bsp,
+                    temperature=bsp.temperature.at[sl].set(
+                        meta["temperature"]
+                    ),
+                    top_k=bsp.top_k.at[sl].set(meta["top_k"]),
+                    top_p=bsp.top_p.at[sl].set(meta["top_p"]),
+                    repetition_penalty=bsp.repetition_penalty.at[sl].set(
+                        meta["repetition_penalty"]
+                    ),
+                    frequency_penalty=bsp.frequency_penalty.at[sl].set(
+                        meta["frequency_penalty"]
+                    ),
+                )
                 return (cache, last_logits, lengths, active, token_counts,
-                        gen_counts, rngs)
+                        gen_counts, rngs, eos_ids, budgets, min_tokens,
+                        prompt_lens, bsp)
 
             self._suffix_prefill_cache[key] = jax.jit(fn)
         return self._suffix_prefill_cache[key]
@@ -960,8 +1049,10 @@ class PagedInferenceEngine(InferenceEngine):
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :n] = req.prompt_tokens
         suffix_bucket = bucket - m * bs
+        self._activate_host(slot_idx, req)  # may flip bsp.use_top_p
         (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs) = (
+         self.token_counts, self.gen_counts, self.rngs, self.eos_ids,
+         self.budgets, self.min_tokens, self.prompt_lens, self.bsp) = (
             self._suffix_prefill_fn(m, bucket, suffix_bucket)(
                 self.params,
                 self.cache,
@@ -973,9 +1064,11 @@ class PagedInferenceEngine(InferenceEngine):
                 np.asarray(ctx["blocks"][m : bucket // bs], np.int32),
                 slot_idx,
                 np.int32(req.sampling_seed & 0x7FFFFFFF),
+                self._meta_rows([req]),
                 self.last_logits, self.lengths, self.active,
                 self.token_counts, self.gen_counts, self.rngs,
+                self.eos_ids, self.budgets, self.min_tokens,
+                self.prompt_lens, self.bsp,
             )
         )
         self._register_prefix(slot_idx, req, ctx)
-        self._activate_host(slot_idx, req)
