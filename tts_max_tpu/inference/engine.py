@@ -7,25 +7,36 @@ decode step:
 
 - a fixed pool of ``max_batch`` slots shares one KV cache
   [L, max_batch, max_len, Hkv, D];
-- new requests are admitted BETWEEN decode steps: a batch-1 prefill fills
-  the slot's cache region (no pause for other slots);
+- new requests are admitted BETWEEN decode dispatches, in BATCHED groups:
+  a FIFO run of queued requests prefills as one [k, bucket] program
+  (``prefill_group_sizes``), which also scatters every per-slot state row
+  (KV region, first logits, lengths, active, counters, RNG keys, request
+  metadata, sampling rows) inside the same dispatch — admission costs ONE
+  host round-trip per group and fetches nothing back;
 - every decode step advances all active slots in lockstep (one jitted
   program; finished/empty slots are masked);
 - finished sequences free their slot immediately.
 
-Static shapes throughout: the engine compiles one prefill program per prompt
-bucket and exactly one decode program.
+Static shapes throughout: one prefill program per (prompt bucket, group
+size), exactly one decode program. ``warmup()`` pre-compiles all of them
+(vLLM-style startup warmup).
 
 ``steps_per_dispatch > 1`` batches K decode steps into one jitted
 ``lax.scan`` program per host round-trip: EOS/budget finish detection moves
 in-program (a finished slot is masked for the rest of the dispatch and
-re-admitted after it), K×[B] tokens come back per fetch, and — because
-packed-int4 params are unpacked to their S4 view ONCE at the top of the
-program — int4 weights run at full speed here, not just in the
-single-program generate path. On a relayed TPU (~28 ms/fetch) per-step
-dispatch caps the pool at ~35 steps/s regardless of compute; K-step
-dispatch amortizes the round-trip to nothing. The cost is scheduling
-granularity: a freed slot idles for at most K-1 steps.
+re-admitted after it), and ONE packed int32 blob ([2K+1, B]: K token rows,
+K emitted rows, final active row) comes back per fetch — a single
+device->host transfer per dispatch. Because packed-int4 params are unpacked
+to their S4 view ONCE at the top of the program, int4 weights run at full
+speed here, not just in the single-program generate path. ``run()``
+additionally PIPELINES dispatches: dispatch N+1 is issued before N's blob
+is fetched (safe — N+1 consumes N's output state, so in-program finishes
+are already masked), hiding the ~28 ms relay round-trip behind the next K
+steps' compute. Costs: a freed slot idles at most K-1 steps, and pipelined
+re-admission lags one dispatch.
+
+On a relayed TPU per-step dispatch caps the pool at ~35 steps/s regardless
+of compute; K-step pipelined dispatch amortizes the round-trip to nothing.
 """
 
 from __future__ import annotations
@@ -221,9 +232,28 @@ class InferenceEngine:
         return out
 
     def run(self) -> list[Completion]:
+        """Drive to completion. With multi-step dispatch, decode dispatches
+        are PIPELINED: dispatch N+1 is issued before N's token blob is
+        fetched, so the ~30 ms relay round-trip overlaps the next K steps'
+        compute. Safe because finish detection is in-program (dispatch N+1
+        consumes N's output state, so freed slots are already masked); the
+        only cost is that re-admission of a freed slot lags one dispatch."""
         done: list[Completion] = []
-        while self.has_work():
-            done.extend(self.step())
+        if self.steps_per_dispatch <= 1:
+            while self.has_work():
+                done.extend(self.step())
+            return done
+        pending = None
+        while self.has_work() or pending is not None:
+            self._admit()
+            dispatched = None
+            if any(s.request for s in self._slots):
+                dispatched = self._dispatch_decode()
+            if pending is not None:
+                self._process_decode_blob(np.asarray(pending[0]), pending[1])
+            pending = dispatched
+            done.extend(self._finished)
+            self._finished = []
         return done
 
     def stats(self) -> dict:
@@ -678,7 +708,16 @@ class InferenceEngine:
             return True
         return False
 
-    def _run_decode_multi(self) -> None:
+    def _dispatch_decode(self):
+        """Issue one multi-step decode dispatch (async); chain the device
+        state to its outputs. Returns (packed blob future, snapshot of the
+        request id occupying each slot at dispatch time) — under pipelining
+        a blob is processed AFTER later admissions, so its rows must be
+        attributed to the occupants it was dispatched for."""
+        snapshot = [
+            s.request.request_id if s.request is not None else None
+            for s in self._slots
+        ]
         (self.cache, self.last_logits, self.lengths, self.active,
          self.token_counts, self.gen_counts, self.rngs,
          packed) = self._decode_k(
@@ -687,15 +726,21 @@ class InferenceEngine:
             self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
             self.budgets, self._table_device(),
         )
-        blob = np.asarray(packed)  # ONE fetch: [2K+1, B]
+        return packed, snapshot
+
+    def _run_decode_multi(self) -> None:
+        packed, snapshot = self._dispatch_decode()
+        self._process_decode_blob(np.asarray(packed), snapshot)
+
+    def _process_decode_blob(self, blob: np.ndarray, snapshot) -> None:
         ksteps = self.steps_per_dispatch
         toks_np = blob[:ksteps]
         emitted_np = blob[ksteps : 2 * ksteps].astype(bool)
         active_np = blob[2 * ksteps].astype(bool)
         freed = []
         for i, slot in enumerate(self._slots):
-            if slot.request is None:
-                continue
+            if slot.request is None or slot.request.request_id != snapshot[i]:
+                continue  # slot re-admitted since this blob was dispatched
             for k in range(toks_np.shape[0]):
                 if not emitted_np[k, i]:
                     continue
@@ -712,6 +757,7 @@ class InferenceEngine:
         stuck = [
             i for i, slot in enumerate(self._slots)
             if slot.request is not None and i not in freed
+            and slot.request.request_id == snapshot[i]
             and not active_np[i]
         ]
         if stuck:
