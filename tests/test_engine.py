@@ -492,3 +492,56 @@ def test_engine_batched_admission_groups(setup):
                                sp=_greedy_sp())
         [r] = solo.generate_all([p], max_new_tokens=5, eos_id=-1)
         np.testing.assert_array_equal(done[i].tokens, r.tokens)
+
+
+def test_engine_cancel_during_pipelined_dispatch(setup):
+    """cancel() while a pipelined dispatch is in flight must NOT recycle the
+    cancelled slot's KV blocks until that dispatch's blob is processed (the
+    in-flight program still scatters KV through the snapshotted table), and
+    a request admitted into the freed slot must generate exactly what it
+    would in a fresh engine."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+
+    def make():
+        return PagedInferenceEngine(params, cfg, max_batch=2, max_len=128,
+                                    block_size=32, sp=_greedy_sp(),
+                                    steps_per_dispatch=4)
+
+    eng = make()
+    p = np.array([5, 9, 42, 7], dtype=np.int32)
+    victim = eng.submit(p, 40, eos_id=-1)
+    eng.poll()  # admit + dispatch in flight
+    assert eng._pending_dispatch is not None
+    held = list(eng._slot_blocks[0])
+    assert held
+    assert eng.cancel(victim) is True
+    # blocks parked, not freed: not allocatable, refs still held
+    assert eng._deferred_free == held
+    assert all(b not in eng._free_blocks for b in held)
+    assert all(eng._refs[b] > 0 for b in held)
+    # admit a new request into the freed slot while the old dispatch is
+    # still in flight; drive both to completion
+    p2 = np.array([11, 3, 8], dtype=np.int32)
+    rid2 = eng.submit(p2, 12, eos_id=-1)
+    done = eng.run()
+    assert [c.request_id for c in done] == [rid2]
+    # deferral flushed; pool fully recovered (sink block 0 excluded)
+    assert eng._deferred_free == []
+    assert not eng.has_work()
+    s = eng.stats()
+    assert s["free_blocks"] + s["cached_blocks"] == eng.num_blocks - 1
+    assert (np.asarray(eng._refs) == 0).all()
+
+    # byte-identical to an uncontended run of the same request (same seed)
+    eng2 = make()
+    v = eng2.submit(p, 40, eos_id=-1)
+    eng2.poll()
+    eng2.cancel(v)
+    r2 = eng2.submit(p2, 12, eos_id=-1, sampling_seed=123)
+    by_id = {c.request_id: c for c in eng2.run()}
+    fresh2 = make()
+    f2 = fresh2.submit(p2, 12, eos_id=-1, sampling_seed=123)
+    fref = {c.request_id: c for c in fresh2.run()}
+    np.testing.assert_array_equal(by_id[r2].tokens, fref[f2].tokens)

@@ -46,9 +46,14 @@ def pct(xs, p):
     return float(np.percentile(np.asarray(xs), p)) if xs else float("nan")
 
 
-def run_load(engine, prompts, budgets, seed=0):
+def run_load(engine, prompts, budgets, seed=0, pipeline=True):
     """Submit everything up-front (saturation load) and drive the engine to
-    completion, recording per-request submit/first-token/done timestamps."""
+    completion, recording per-request submit/first-token/done timestamps.
+
+    ``pipeline=True`` drives ``engine.run_iter()`` — the production serving
+    loop, which overlaps dispatch N+1 with fetching N's blob; False drives
+    ``engine.step()`` (synchronous round-trip per dispatch, the legacy
+    comparison)."""
     submit_t, first_t, done_t, admit_t = {}, {}, {}, {}
     t0 = time.perf_counter()
     ids = []
@@ -57,8 +62,15 @@ def run_load(engine, prompts, budgets, seed=0):
         submit_t[rid] = time.perf_counter()
         ids.append(rid)
     n_tokens = 0
-    while engine.has_work():
-        completions = engine.step()
+
+    def iterate():
+        if pipeline:
+            yield from engine.run_iter()
+        else:
+            while engine.has_work():
+                yield engine.step()
+
+    for completions in iterate():
         now = time.perf_counter()
         for s in engine._slots:
             if s.request is not None:
@@ -103,6 +115,9 @@ def main():
     ap.add_argument("--contiguous", action="store_true",
                     help="contiguous per-slot KV instead of paged blocks")
     ap.add_argument("--no-window", action="store_true")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="drive engine.step() synchronously instead of the "
+                         "pipelined run_iter() serving loop")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -161,11 +176,13 @@ def main():
         f"{'contig' if args.contiguous else 'paged'}",
         file=sys.stderr, flush=True,
     )
-    r = run_load(engine, prompts, budgets, seed=args.seed)
+    r = run_load(engine, prompts, budgets, seed=args.seed,
+                 pipeline=not args.no_pipeline)
     assert r["completed"] == args.requests, r
     print(
         f"engine {args.arch} {args.quantize} kv={args.kv} "
-        f"pool={args.max_batch} K={args.steps_per_dispatch}: "
+        f"pool={args.max_batch} K={args.steps_per_dispatch}"
+        f"{' sync' if args.no_pipeline else ''}: "
         f"{r['tok_per_s']:.0f} tok/s  "
         f"TTFT p50 {r['ttft_p50'] * 1e3:.0f}ms p95 {r['ttft_p95'] * 1e3:.0f}ms  "
         f"latency p50 {r['latency_p50']:.2f}s p95 {r['latency_p95']:.2f}s  "

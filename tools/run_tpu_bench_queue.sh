@@ -27,6 +27,4 @@ run 1800 python tools/bench_train.py --arch llama-1b --batch 4 --seq 2048 --rema
 run 1800 python tools/bench_train.py --arch llama-1b --batch 4 --seq 2048 --remat full --loss-chunk 256
 run 1800 python tools/bench_train.py --arch llama-1b --batch 2 --seq 2048 --remat dots --loss-chunk 512
 run 1800 python tools/bench_train.py --arch llama-1b --batch 8 --seq 2048 --remat dots --loss-chunk 256
-# --- quantization quality table (VERDICT item 3) ----------------------------
-run 3600 python tools/quant_quality.py --arch llama-1b --modes int8,int4,int4-g128,int4-g64
 echo "=== QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"

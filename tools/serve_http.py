@@ -88,7 +88,10 @@ class TtsServer:
             try:
                 with self._lock:
                     work = self.engine.has_work()
-                    done = self.engine.step() if work else []
+                    # poll() pipelines K-step dispatches (issue N+1 before
+                    # fetching N's blob) so the relay round-trip overlaps
+                    # compute; submissions interleave between polls
+                    done = self.engine.poll() if work else []
             except Exception:
                 # keep serving: a failed step (e.g. a transient device
                 # error) must not silently kill the only worker thread

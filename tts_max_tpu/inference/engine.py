@@ -170,6 +170,8 @@ class InferenceEngine:
         self._slots = [_Slot() for _ in range(max_batch)]
         self._queue: collections.deque[Request] = collections.deque()
         self._finished: list[Completion] = []
+        # in-flight (blob, slot snapshot) when poll() pipelines dispatches
+        self._pending_dispatch = None
         self._ids = itertools.count()
         self._prefill_cache: dict[int, Callable] = {}
         self._decode = jax.jit(self._decode_step)
@@ -203,7 +205,11 @@ class InferenceEngine:
         return rid
 
     def has_work(self) -> bool:
-        return bool(self._queue) or any(s.request for s in self._slots)
+        return (
+            bool(self._queue)
+            or any(s.request for s in self._slots)
+            or self._pending_dispatch is not None
+        )
 
     def cancel(self, request_id: int) -> bool:
         """Abort a request (vLLM abort_request parity): drop it from the
@@ -218,7 +224,16 @@ class InferenceEngine:
                 slot.request = None
                 slot.generated = []
                 self.active = self.active.at[i].set(False)
-                self._release_slot(i)
+                if self._pending_dispatch is not None:
+                    # The in-flight pipelined dispatch snapshotted this slot
+                    # as ACTIVE and keeps scattering its KV through the old
+                    # block-table row; the blocks must not be reallocated
+                    # until that dispatch's blob is processed (the NEXT
+                    # dispatch consumes active=False and the zeroed table
+                    # row, routing writes to the sink block).
+                    self._defer_release(i)
+                else:
+                    self._release_slot(i)
                 return True
         return False
 
@@ -231,29 +246,45 @@ class InferenceEngine:
         out, self._finished = self._finished, []
         return out
 
-    def run(self) -> list[Completion]:
-        """Drive to completion. With multi-step dispatch, decode dispatches
-        are PIPELINED: dispatch N+1 is issued before N's token blob is
-        fetched, so the ~30 ms relay round-trip overlaps the next K steps'
-        compute. Safe because finish detection is in-program (dispatch N+1
+    def poll(self) -> list[Completion]:
+        """One PIPELINED serving iteration: admit queued requests, issue the
+        next K-step decode dispatch, then process the PREVIOUS dispatch's
+        token blob. Because dispatch N+1 is enqueued before blocking on N's
+        blob, the ~30 ms relay round-trip overlaps the next K steps'
+        compute. Safe: finish detection is in-program (dispatch N+1
         consumes N's output state, so freed slots are already masked); the
-        only cost is that re-admission of a freed slot lags one dispatch."""
-        done: list[Completion] = []
+        only cost is that re-admission of a freed slot lags one dispatch.
+
+        The in-flight dispatch lives on the engine (``has_work()`` counts
+        it), so external serving loops (the HTTP worker thread) can
+        interleave ``submit``/``cancel`` between polls."""
         if self.steps_per_dispatch <= 1:
-            while self.has_work():
-                done.extend(self.step())
-            return done
-        pending = None
-        while self.has_work() or pending is not None:
-            self._admit()
-            dispatched = None
-            if any(s.request for s in self._slots):
-                dispatched = self._dispatch_decode()
-            if pending is not None:
-                self._process_decode_blob(np.asarray(pending[0]), pending[1])
-            pending = dispatched
-            done.extend(self._finished)
-            self._finished = []
+            return self.step()
+        self._admit()
+        dispatched = None
+        if any(s.request for s in self._slots):
+            dispatched = self._dispatch_decode()
+        pending, self._pending_dispatch = self._pending_dispatch, dispatched
+        if pending is not None:
+            self._process_decode_blob(np.asarray(pending[0]), pending[1])
+            # blocks parked by cancel() during that dispatch are now safe
+            self._flush_deferred_releases()
+        out, self._finished = self._finished, []
+        return out
+
+    def run_iter(self):
+        """Drive to completion, yielding each poll's completions (may be
+        empty). Callers that need per-iteration observability (TTFT
+        measurement, streaming emission) iterate this; ``run()`` is the
+        collect-everything form."""
+        while self.has_work():
+            yield self.poll()
+
+    def run(self) -> list[Completion]:
+        """Drive to completion (pipelined when steps_per_dispatch > 1)."""
+        done: list[Completion] = []
+        for batch in self.run_iter():
+            done.extend(batch)
         return done
 
     def stats(self) -> dict:
@@ -298,6 +329,15 @@ class InferenceEngine:
         return True
 
     def _release_slot(self, slot_idx: int) -> None:
+        pass
+
+    def _defer_release(self, slot_idx: int) -> None:
+        """Release a cancelled slot whose KV may still be written by the
+        in-flight pipelined dispatch (no-op for contiguous KV: per-slot
+        regions are only re-read after being rewritten)."""
+        self._release_slot(slot_idx)
+
+    def _flush_deferred_releases(self) -> None:
         pass
 
     def _table_device(self):
@@ -847,6 +887,7 @@ class PagedInferenceEngine(InferenceEngine):
         # cached prefix can ever read, else they silently corrupt another
         # request's KV.
         self._free_blocks = list(range(1, self.num_blocks))
+        self._deferred_free: list[int] = []
         self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
         # unallocated entries stay 0 = the sink (attention masks by length)
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
@@ -937,16 +978,35 @@ class PagedInferenceEngine(InferenceEngine):
         return self._blocks_needed(req) - m <= available
 
     def _release_slot(self, slot_idx: int) -> None:
-        for blk in self._slot_blocks[slot_idx]:
+        blocks = self._slot_blocks[slot_idx]
+        self._slot_blocks[slot_idx] = []
+        self._table[slot_idx] = 0
+        self._table_dirty = True
+        self._free_block_list(blocks)
+
+    def _free_block_list(self, blocks) -> None:
+        for blk in blocks:
             self._refs[blk] -= 1
             if self._refs[blk] == 0:
                 if blk in self._hash_of:
                     self._evictable[blk] = self._hash_of[blk]
                 else:
                     self._free_blocks.append(blk)
+
+    def _defer_release(self, slot_idx: int) -> None:
+        """Cancel under an in-flight pipelined dispatch: zero the table row
+        (next dispatch routes this slot's writes to the sink block) but keep
+        the block refs until the in-flight blob is processed — the old
+        dispatch still scatters KV through the snapshotted table, so the
+        blocks must not be reallocated in this window."""
+        self._deferred_free.extend(self._slot_blocks[slot_idx])
         self._slot_blocks[slot_idx] = []
         self._table[slot_idx] = 0
         self._table_dirty = True
+
+    def _flush_deferred_releases(self) -> None:
+        blocks, self._deferred_free = self._deferred_free, []
+        self._free_block_list(blocks)
 
     def _table_device(self):
         # upload the block table only when it changed, not per dispatch
