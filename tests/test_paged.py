@@ -317,3 +317,75 @@ def test_prefix_cache_never_swallows_whole_prompt(fp32_setup):
     b = eng.generate_all([p], max_new_tokens=5, eos_id=-1)[0]
     assert eng.prefix_cache_hits == 1  # capped at (n-1)//bs
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_dma_kernel_matches_xla(quantized):
+    """Manual-DMA kernel (grid (B,), double-buffered async page copies) must
+    match the gather oracle, including NaN-free handling of never-DMA'd
+    pages past each sequence's length."""
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(
+        3, quantized=quantized
+    )
+    ref = pattn.paged_decode_attention_xla(q, k_pool, v_pool, table, lengths)
+    out = pattn.paged_decode_attention_dma(
+        q, k_pool, v_pool, table, lengths, interpret=True
+    )
+    assert not np.isnan(np.asarray(out)).any()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_paged_dma_kernel_ignores_garbage_blocks():
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(4)
+    ref = pattn.paged_decode_attention_dma(
+        q, k_pool, v_pool, table, lengths, interpret=True
+    )
+    k_np = np.array(k_pool, copy=True)
+    v_np = np.array(v_pool, copy=True)
+    used = set()
+    bs = k_np.shape[1]
+    for i in range(table.shape[0]):
+        nb = -(-int(lengths[i]) // bs)
+        used.update(int(x) for x in np.asarray(table)[i, :nb])
+    for blk in range(k_np.shape[0]):
+        if blk not in used:
+            k_np[blk] = np.nan  # harsher than 1e4: NaN must not propagate
+            v_np[blk] = np.nan
+    out = pattn.paged_decode_attention_dma(
+        q, jnp.asarray(k_np), jnp.asarray(v_np), table, lengths,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_step_paged_dma_variant_matches(monkeypatch):
+    """decode_step_paged with TTS_MAX_PAGED_ATTN=dma (the TPU serving
+    default) matches the XLA variant end-to-end through the layer scan."""
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    b, bs, p = 2, 16, 4
+    rng = np.random.default_rng(7)
+    pool = llama.init_paged_kv_cache(cfg, b * p + 3, bs)
+    table = jnp.asarray(
+        rng.permutation(b * p + 3)[: b * p].reshape(b, p), dtype=jnp.int32
+    )
+    lengths = jnp.asarray([5, 9], jnp.int32)
+    toks = jnp.asarray([11, 23], jnp.int32)
+    logits_x, pool_x = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    monkeypatch.setenv("TTS_MAX_PAGED_ATTN", "dma")
+    logits_d, pool_d = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    # bf16 model: the dma kernel accumulates attention in f32 while the XLA
+    # path dots in bf16 — differences are bf16-rounding scale
+    np.testing.assert_allclose(
+        np.asarray(logits_d), np.asarray(logits_x), atol=2e-2
+    )
+    for a, b_ in zip(jax.tree.leaves(pool_x), jax.tree.leaves(pool_d)):
+        # later layers' K/V derive from earlier layers' attention output,
+        # so bf16 rounding differences propagate into the writes too
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-2, atol=2e-2
+        )

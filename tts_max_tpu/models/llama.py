@@ -683,14 +683,24 @@ def decode_step_paged(
     through the block table (ops/paged_attention.py). table: [B, P] int32
     (unallocated entries must be valid ids, e.g. 0 — masked by lengths).
     """
+    import os
+
     from tts_max_tpu.ops import paged_attention as pattn
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    attn_fn = (
-        pattn.paged_decode_attention if use_pallas
-        else pattn.paged_decode_attention_xla
-    )
+    variant = os.environ.get("TTS_MAX_PAGED_ATTN", "")
+    if not variant:
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        # manual-DMA kernel: grid (B,) with double-buffered page copies —
+        # the BlockSpec-grid kernel's (B, P) grid costs ~20 ms/step at
+        # serving shapes (grid-step overhead x 16 layers), the DMA kernel
+        # reads only allocated pages at bandwidth
+        variant = "dma" if use_pallas else "xla"
+    attn_fn = {
+        "dma": pattn.paged_decode_attention_dma,
+        "grid": pattn.paged_decode_attention,
+        "xla": pattn.paged_decode_attention_xla,
+    }[variant]
     b = tokens.shape[0]
     bs = paged_block_size(cache)
     max_pos = table.shape[1] * bs

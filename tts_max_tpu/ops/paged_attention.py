@@ -57,6 +57,201 @@ def paged_decode_attention_xla(q, k_pool, v_pool, table, lengths):
     return decode_attention(q, gather(k_pool), gather(v_pool), lengths)
 
 
+def paged_decode_attention_dma(
+    q: jnp.ndarray,
+    k_pool,
+    v_pool,
+    table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Manual-DMA paged decode attention: grid ``(B,)`` with double-buffered
+    async page copies.
+
+    The BlockSpec-grid kernel below iterates a ``(B, P)`` grid — at serving
+    shapes (B=64, P=12) that is 768 sequential grid steps of ~μs-scale work
+    PER LAYER, and grid-step overhead (not bandwidth) dominates the decode
+    step (~20 ms/step measured at 1B/B=64 vs ~5 ms contiguous). Here the
+    grid is one program per sequence; each program walks its own block list
+    with ``pltpu.make_async_copy`` (pool stays in HBM/ANY, pages land in a
+    2-deep VMEM buffer), overlapping page ``j+1``'s DMA with page ``j``'s
+    flash accumulation. Trip count is the STATIC table width; past-the-end
+    pages are predicated off with ``pl.when`` (this platform's remote Mosaic
+    stalls on dynamic trip counts). int8 KV pools ({"q","scale"}) are
+    dequantized in-VMEM after the int8 payload crosses HBM."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kq_pool, k_scale = _split(k_pool)
+    vq_pool, v_scale = _split(v_pool)
+    n_blocks, bs, hkv, d = kq_pool.shape
+    b, p = table.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    scale = d**-0.5
+    qg = q.reshape(b, hkv, n_rep, d)
+    quantized = k_scale is not None
+
+    # Manual ref.at[blk] slices require the last two dims to be
+    # (8, 128)-tile aligned (unlike BlockSpec blocks, which may equal the
+    # array dims — head_dim 64 fails Mosaic's memref_slice). Merge (hkv, d)
+    # into one 128-aligned minor dim (free: contiguous reinterpret) and
+    # lane-pad the per-token-per-head scales.
+    flat = hkv * d
+    kq_pool = kq_pool.reshape(n_blocks, bs, flat)
+    vq_pool = vq_pool.reshape(n_blocks, bs, flat)
+    sc_w = 0
+    if quantized:
+        sc_w = hkv if hkv % 128 == 0 else hkv + (-hkv) % 128
+        k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
+        v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
+
+    def kernel(len_ref, tbl_ref, *refs):
+        if quantized:
+            (q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
+             kbuf, vbuf, ksbuf, vsbuf, sem) = refs
+        else:
+            q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sem = refs
+            ks_hbm = vs_hbm = ksbuf = vsbuf = None
+        i = pl.program_id(0)
+        length = len_ref[i]
+        nb = jnp.maximum((length + bs - 1) // bs, 1)
+
+        def start(j, slot):
+            blk = tbl_ref[i, j]
+            pltpu.make_async_copy(
+                k_hbm.at[blk], kbuf.at[slot], sem.at[slot, 0]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[blk], vbuf.at[slot], sem.at[slot, 1]
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[blk], ksbuf.at[slot], sem.at[slot, 2]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_hbm.at[blk], vsbuf.at[slot], sem.at[slot, 3]
+                ).start()
+
+        def wait(j, slot):
+            blk = tbl_ref[i, j]
+            pltpu.make_async_copy(
+                k_hbm.at[blk], kbuf.at[slot], sem.at[slot, 0]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[blk], vbuf.at[slot], sem.at[slot, 1]
+            ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[blk], ksbuf.at[slot], sem.at[slot, 2]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_hbm.at[blk], vsbuf.at[slot], sem.at[slot, 3]
+                ).wait()
+
+        @pl.when(0 < nb)
+        def _p0():
+            start(0, 0)
+
+        # flash state in f32 registers via carried values is not expressible
+        # across pl.when bodies; keep per-head m/l/acc in small VMEM scratch
+        # is avoided — instead accumulate in python-level unrolled loop with
+        # masked contributions per page, carried through fori-free statics.
+        m = [jnp.full((n_rep, 1), NEG_INF, jnp.float32) for _ in range(hkv)]
+        l = [jnp.zeros((n_rep, 1), jnp.float32) for _ in range(hkv)]
+        acc = [jnp.zeros((n_rep, d), jnp.float32) for _ in range(hkv)]
+
+        for j in range(p):
+            slot = j % 2
+
+            @pl.when(j + 1 < nb)
+            def _pre(j=j, slot=slot):
+                start(j + 1, 1 - slot)
+
+            @pl.when(j < nb)
+            def _w(j=j, slot=slot):
+                wait(j, slot)
+
+            live = j < nb
+            base = j * bs
+            k_pos = base + jax.lax.broadcasted_iota(jnp.int32, (n_rep, bs), 1)
+            valid = (k_pos < length) & live
+            # rows past the valid region may hold garbage (uninitialized
+            # scratch for never-DMA'd pages); pexp is 0 there but 0*NaN=NaN,
+            # so v must be zeroed, not just down-weighted
+            v_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
+                    < length) & live
+            kk = kbuf[slot]  # [bs, hkv*d]; heads are 64-lane chunks
+            vv = vbuf[slot]
+            for h in range(hkv):
+                qb = q_ref[0, h].astype(jnp.float32) * scale  # [n_rep, D]
+                k = kk[:, h * d:(h + 1) * d].astype(jnp.float32)  # [bs, D]
+                v = vv[:, h * d:(h + 1) * d].astype(jnp.float32)
+                if quantized:
+                    k = k * ksbuf[slot, :, h][:, None]
+                    v = v * vsbuf[slot, :, h][:, None]
+                v = jnp.where(v_ok, v, 0.0)
+                s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32)
+                s = jnp.where(valid, s, NEG_INF)
+                m_new = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m[h] - m_new)
+                pexp = jnp.exp(s - m_new)
+                m[h] = m_new
+                l[h] = alpha * l[h] + jnp.sum(pexp, axis=-1, keepdims=True)
+                acc[h] = alpha * acc[h] + jnp.dot(
+                    pexp, v, preferred_element_type=jnp.float32
+                )
+
+        out = jnp.stack(
+            [acc[h] / jnp.maximum(l[h], 1e-30) for h in range(hkv)]
+        )  # [hkv, n_rep, d]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    # pin the pool to HBM: under ANY, Mosaic may place it in VMEM,
+    # where .at[blk] memref slices must align to the (8,128) tile
+    # (d=64 lanes fails); HBM->VMEM DMAs have no such constraint
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    in_specs = [pl.BlockSpec((1, hkv, n_rep, d), lambda i, *s: (i, 0, 0, 0))]
+    inputs = [qg, kq_pool]
+    in_specs.append(any_spec)
+    if quantized:
+        in_specs.append(any_spec)
+        inputs.append(k_scale)
+    in_specs.append(any_spec)
+    inputs.append(vq_pool)
+    if quantized:
+        in_specs.append(any_spec)
+        inputs.append(v_scale)
+
+    scratch = [
+        pltpu.VMEM((2, bs, flat), kq_pool.dtype),
+        pltpu.VMEM((2, bs, flat), vq_pool.dtype),
+    ]
+    n_sems = 2
+    if quantized:
+        scratch += [
+            pltpu.VMEM((2, bs, sc_w), k_scale.dtype),
+            pltpu.VMEM((2, bs, sc_w), v_scale.dtype),
+        ]
+        n_sems = 4
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv, n_rep, d), lambda i, *s: (i, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), table.astype(jnp.int32), *inputs)
+    return out.reshape(b, hq, d)
+
+
 def paged_decode_attention(
     q: jnp.ndarray,
     k_pool,
