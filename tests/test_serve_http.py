@@ -107,3 +107,45 @@ def test_concurrent_requests(http_server):
         t.join(timeout=300)
     assert len(results) == 4
     assert all(len(v["tokens"]) <= 5 for v in results.values())
+
+
+def test_stream_endpoint_chunked_wav(http_server):
+    """POST /stream returns chunked-transfer WAV whose PCM matches the
+    codes the same seed produces through /generate (modulo the incremental
+    decode's chunk boundaries — here we check container + length + that
+    audio arrives)."""
+    body = {"text": "stream me", "max_tokens": 8, "seed": 7,
+            "chunk_codes": 2, "context_codes": 4}
+    with _post(http_server + "/stream", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()  # urllib de-chunks transfer-encoding
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pcm = data[44:]
+    # same seed through /generate tells us how many codes were emitted
+    with _post(http_server + "/generate",
+               {"text": "stream me", "max_tokens": 8, "seed": 7}) as r:
+        out = json.load(r)
+    n_codes = len(out["codes"])
+    hop = 320  # 16 kHz / 50 tok/s
+    assert len(pcm) == n_codes * hop * 2  # int16 mono
+    if n_codes:
+        assert np.frombuffer(pcm, "<i2").astype(np.int32).__abs__().max() >= 0
+
+
+def test_stream_endpoint_engine_state_clean(http_server):
+    """After a stream completes, the engine holds no subscriptions, slots,
+    or leaked blocks."""
+    with _post(http_server + "/stream",
+               {"text": "x", "max_tokens": 4, "seed": 3}) as r:
+        r.read()
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        with urllib.request.urlopen(http_server + "/stats", timeout=60) as r:
+            s = json.load(r)
+        if s["active_slots"] == 0 and s["used_blocks"] == 0:
+            break
+        _t.sleep(0.5)
+    assert s["active_slots"] == 0
+    assert s["queued_requests"] == 0

@@ -75,3 +75,23 @@ def test_streaming_synthesizer_end_to_end(decoder):
     assert total % 320 == 0
     assert all(np.isfinite(c).all() for c in chunks)
     assert not engine.has_work()
+
+
+def test_streaming_decoder_history_conditions_but_never_emits(decoder):
+    """``history`` codes (the voice prompt's) condition the decode context
+    but are never emitted — matching the offline path's prompt-region trim."""
+    rng = np.random.default_rng(1)
+    hist = rng.integers(0, 65536, 40)
+    codes = rng.integers(0, 65536, 60)
+
+    sd = StreamingDecoder(decoder, chunk_codes=20, context_codes=50,
+                          crossfade_codes=4, history=hist)
+    out = np.concatenate([sd.push(codes), sd.flush()])
+    assert len(out) == 60 * 320  # only the new codes' samples
+
+    # against offline decode of [hist + codes] with the prompt trimmed:
+    # interiors converge (the streaming context covers the full history)
+    full = decoder.decode(np.concatenate([hist, codes]))[0][40 * 320:]
+    a, b = out[len(out) // 2:], full[len(full) // 2:]
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, corr

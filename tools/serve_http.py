@@ -12,6 +12,9 @@ block on a per-request event. Endpoints:
                      -> audio/wav bytes (16 kHz int16 mono)
   POST /generate     same body -> {"tokens": [...], "codes": [...],
                       "finish_reason": ...} (no vocoding)
+  POST /stream       same body (+ chunk_codes?, context_codes?) ->
+                      chunked-transfer audio/wav, emitted WHILE generating
+                      (incremental codec decode with crossfade)
   GET  /stats        -> engine stats JSON (slots, blocks, prefix-cache hits)
   GET  /health       -> {"ok": true}
 
@@ -63,6 +66,30 @@ def wav_bytes(wav: np.ndarray, sample_rate: int = CODEC_SAMPLE_RATE) -> bytes:
     return hdr + pcm
 
 
+def wav_stream_header(sample_rate: int = CODEC_SAMPLE_RATE) -> bytes:
+    """WAV header for a stream of unknown length (RIFF/data sizes maxed —
+    the convention players treat as 'read until EOF')."""
+    hdr = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+    hdr += struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", 0xFFFFFFFF)
+    return hdr
+
+
+def pcm_bytes(wav: np.ndarray) -> bytes:
+    return (np.clip(np.asarray(wav, np.float32).ravel(), -1, 1) * 32767.0
+            ).astype("<i2").tobytes()
+
+
+class _StreamSub:
+    """Per-request token subscription filled by the engine worker thread."""
+
+    def __init__(self):
+        import queue
+
+        self.q: "queue.Queue" = queue.Queue()
+        self.consumed = 0  # tokens already pushed
+
+
 class TtsServer:
     """Engine + worker thread + synchronous request API."""
 
@@ -78,6 +105,7 @@ class TtsServer:
         self._lock = threading.Lock()
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, object] = {}
+        self._token_subs: dict[int, _StreamSub] = {}
         self._seed = 0
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -98,7 +126,24 @@ class TtsServer:
                 log.exception("engine step failed; worker continues")
                 time.sleep(0.1)
                 continue
+            with self._lock:
+                # push newly generated tokens to /stream subscribers
+                for slot in self.engine._slots:
+                    req = slot.request
+                    if req is None:
+                        continue
+                    sub = self._token_subs.get(req.request_id)
+                    if sub is not None and len(slot.generated) > sub.consumed:
+                        sub.q.put(list(slot.generated[sub.consumed:]))
+                        sub.consumed = len(slot.generated)
             for c in done:
+                sub = self._token_subs.get(c.request_id)
+                if sub is not None:
+                    toks = np.asarray(c.tokens).tolist()
+                    if len(toks) > sub.consumed:
+                        sub.q.put(toks[sub.consumed:])
+                        sub.consumed = len(toks)
+                    sub.q.put(None)  # finished sentinel
                 ev = self._events.pop(c.request_id, None)
                 if ev:  # nobody waits after a timeout/cancel: drop result
                     self._results[c.request_id] = c
@@ -110,8 +155,9 @@ class TtsServer:
         self._stop = True
         self._worker.join(timeout=5)
 
-    def request(self, body: dict, timeout: float = 600.0):
-        """Returns (completion, prompt_speech_ids). Raises on bad input."""
+    def _prepare(self, body: dict):
+        """Compile the prompt; returns (input_ids, budget, sampling,
+        prompt_speech_ids). Raises ValueError on bad input."""
         speech_ids: list[int] = []
         if body.get("prompt_wav"):
             wav, _ = load_wav(body["prompt_wav"], CODEC_SAMPLE_RATE)
@@ -136,6 +182,11 @@ class TtsServer:
                 f"max_len {self.max_len}"
             )
         sampling = sampling_from_overrides(body, SamplingParams())
+        return input_ids, budget, sampling, speech_ids
+
+    def request(self, body: dict, timeout: float = 600.0):
+        """Returns (completion, prompt_speech_ids). Raises on bad input."""
+        input_ids, budget, sampling, speech_ids = self._prepare(body)
         ev = threading.Event()
         with self._lock:
             self._seed += 1
@@ -153,6 +204,28 @@ class TtsServer:
                 self._results.pop(rid, None)
             raise TimeoutError("generation timed out")
         return self._results.pop(rid), speech_ids
+
+    def request_stream(self, body: dict):
+        """Submit and subscribe: returns (rid, token subscription,
+        prompt_speech_ids). The worker thread pushes token deltas to the
+        subscription as each dispatch's blob lands; caller must
+        ``finish_stream(rid)`` when done (success, error, or disconnect)."""
+        input_ids, budget, sampling, speech_ids = self._prepare(body)
+        sub = _StreamSub()
+        with self._lock:
+            self._seed += 1
+            rid = self.engine.submit(
+                input_ids, budget, eos_id=self.sv.speech_end_id,
+                sampling_seed=int(body.get("seed", self._seed)),
+                sampling=sampling, min_tokens=int(body.get("min_tokens", 0)),
+            )
+            self._token_subs[rid] = sub
+        return rid, sub, speech_ids
+
+    def finish_stream(self, rid: int) -> None:
+        with self._lock:
+            self._token_subs.pop(rid, None)
+            self.engine.cancel(rid)  # no-op if already finished
 
     def stats(self) -> dict:
         # best-effort read of host-side counters; deliberately lock-free so
@@ -180,14 +253,69 @@ def make_handler(server: TtsServer):
                 return self._json(200, server.stats())
             return self._json(404, {"error": "unknown endpoint"})
 
+        def _stream(self, body: dict):
+            """POST /stream: chunked-transfer WAV — audio is emitted while
+            the SpeechLM is still generating (time-to-first-audio ~=
+            (chunk+context)/50 s of speech instead of the full utterance).
+            Body accepts the /synthesize fields plus chunk_codes /
+            context_codes (StreamingDecoder granularity)."""
+            from tts_max_tpu.inference.streaming import StreamingDecoder
+
+            rid, sub, prompt_ids = server.request_stream(body)
+            sd = StreamingDecoder(
+                server.decoder,
+                int(body.get("chunk_codes", 25)),
+                int(body.get("context_codes", 50)),
+                history=prompt_ids if prompt_ids else None,
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def wchunk(b: bytes):
+                if b:
+                    self.wfile.write(
+                        f"{len(b):X}\r\n".encode() + b + b"\r\n"
+                    )
+
+            import queue as _queue
+
+            try:
+                wchunk(wav_stream_header())
+                while True:
+                    try:
+                        toks = sub.q.get(timeout=600.0)
+                    except _queue.Empty:
+                        break  # generation stalled: close the stream
+                    if toks is None:  # finished
+                        piece = sd.flush()
+                        if len(piece):
+                            wchunk(pcm_bytes(piece))
+                        break
+                    codes = server.sv.codes_from_tokens(
+                        np.asarray(toks, dtype=np.int64)
+                    )
+                    if len(codes):
+                        piece = sd.push(codes)
+                        if len(piece):
+                            wchunk(pcm_bytes(piece))
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; cancel below frees the slot
+            finally:
+                server.finish_stream(rid)
+
         def do_POST(self):
             try:
-                if self.path not in ("/generate", "/synthesize"):
+                if self.path not in ("/generate", "/synthesize", "/stream"):
                     return self._json(404, {"error": "unknown endpoint"})
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if "text" not in body:
                     return self._json(400, {"error": "missing 'text'"})
+                if self.path == "/stream":
+                    return self._stream(body)
                 comp, prompt_ids = server.request(body)
                 if self.path == "/generate":
                     codes = server.sv.codes_from_tokens(np.asarray(comp.tokens))

@@ -30,14 +30,21 @@ class StreamingDecoder:
         chunk_codes: int = 25,
         context_codes: int = 50,
         crossfade_codes: int = 4,
+        history=None,
     ):
+        """``history``: codes that precede the stream (e.g. the voice-prompt
+        audio's codes) — they condition the decode context but are never
+        emitted, mirroring the offline path's prompt-region trim."""
         self._decoder = audio_decoder
         self.chunk = chunk_codes
         self.context = context_codes
         self.crossfade = crossfade_codes
         self._hop = audio_decoder.sample_rate // audio_decoder.token_rate
-        self._codes: list[int] = []
-        self._emitted_codes = 0
+        self._codes: list[int] = (
+            np.asarray(history, dtype=np.int64).ravel().tolist()
+            if history is not None else []
+        )
+        self._emitted_codes = len(self._codes)
         self._tail: np.ndarray | None = None  # last crossfade region samples
 
     def push(self, codes) -> np.ndarray:
@@ -113,7 +120,7 @@ class StreamingSynthesizer:
         n_consumed = 0
         done = False
         while not done:
-            finished = self._engine.step()
+            finished = self._engine.poll()
             done = any(c.request_id == rid for c in finished) or not (
                 self._engine.has_work()
             )
