@@ -16,17 +16,12 @@ run() {
 run 1800 python tools/bench_train.py --arch llama-1b --batch 2 --seq 2048 --remat dots --loss-chunk 256
 run 1800 python tools/bench_train.py --arch llama-1b --batch 4 --seq 2048 --remat dots --loss-chunk 256
 run 1800 python tools/bench_train.py --arch llama-1b --batch 4 --seq 2048 --remat full --loss-chunk 256
-run 1800 python tools/bench_train.py --arch llama-1b --batch 2 --seq 2048 --remat dots --loss-chunk 512
-run 1800 python tools/bench_train.py --arch llama-1b --batch 8 --seq 2048 --remat dots --loss-chunk 256
 # --- engine with the manual-DMA paged kernel --------------------------------
-run 2400 python tools/probe_engine_overhead.py --k 16 --batch 64
-run 2400 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 16 --requests 128
-run 2400 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 --requests 256
-run 2400 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 64 --requests 256
-run 2400 python tools/bench_engine.py --arch llama-1b --quantize int4 --max-batch 64 --steps-per-dispatch 32 --requests 256
-run 2400 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 --requests 256 --contiguous
-run 3000 python tools/bench_engine.py --arch llama-8b --quantize int4 --max-batch 32 --steps-per-dispatch 32 --kv int8 --requests 128
-run 3000 python tools/bench_engine.py --arch llama-8b --quantize int4-g128 --max-batch 32 --steps-per-dispatch 32 --kv int8 --requests 128
+run 3600 python tools/probe_engine_overhead.py --k 16 --batch 64
+run 3600 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 16 --requests 128
+run 3600 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 --requests 256
+run 3600 python tools/bench_engine.py --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 64 --requests 256
+run 3600 python tools/bench_engine.py --arch llama-8b --quantize int4 --max-batch 32 --steps-per-dispatch 32 --kv int8 --requests 128
 # --- codec encode A/B: XLA conv vs fused Pallas act1d -----------------------
 run 1800 python tools/bench_codec.py encode --batch 8 --seconds 10
 echo "=== act1d fused" | tee -a "$LOG"
@@ -34,6 +29,4 @@ TTS_MAX_PALLAS_ACT1D=1 timeout 1800 python tools/bench_codec.py encode --batch 8
 # --- end-to-end train demo on the chip (VERDICT item 8) ---------------------
 echo "=== $(date +%H:%M:%S) TPU train demo (300 steps + resume)" | tee -a "$LOG"
 bash tools/run_tpu_train_demo.sh /tmp/train_demo 2>&1 | tail -25 | tee -a bench_logs/train_demo.log
-# --- quant quality on the 1B (random init) ----------------------------------
-run 3600 python tools/quant_quality.py --arch llama-1b --modes int8,int4,int4-g128,int4-g64
 echo "=== MASTER-C DONE $(date +%H:%M:%S)" | tee -a "$LOG"
