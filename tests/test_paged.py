@@ -389,3 +389,49 @@ def test_decode_step_paged_dma_variant_matches(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-2, atol=2e-2
         )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("ppb", [1, 2, 4])
+def test_paged_dense_kernel_matches_xla(quantized, ppb):
+    """Dense block-diagonal kernel == gather oracle across page-group
+    sizes, including the NaN guard for never-DMA'd pages."""
+    q, k, v, k_pool, v_pool, table, lengths = _rand_paged_case(
+        5, quantized=quantized
+    )
+    ref = pattn.paged_decode_attention_xla(q, k_pool, v_pool, table, lengths)
+    out = pattn.paged_decode_attention_dense(
+        q, k_pool, v_pool, table, lengths, pages_per_block=ppb,
+        interpret=True,
+    )
+    assert not np.isnan(np.asarray(out)).any()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_step_paged_dense_variant_matches(monkeypatch):
+    """decode_step_paged with TTS_MAX_PAGED_ATTN=dense (the TPU serving
+    default) matches the XLA variant end-to-end through the layer scan."""
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    b, bs, p = 2, 16, 4
+    rng = np.random.default_rng(9)
+    pool = llama.init_paged_kv_cache(cfg, b * p + 3, bs)
+    table = jnp.asarray(
+        rng.permutation(b * p + 3)[: b * p].reshape(b, p), dtype=jnp.int32
+    )
+    lengths = jnp.asarray([5, 9], jnp.int32)
+    toks = jnp.asarray([11, 23], jnp.int32)
+    logits_x, pool_x = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    monkeypatch.setenv("TTS_MAX_PAGED_ATTN", "dense")
+    logits_d, pool_d = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_d), np.asarray(logits_x), atol=2e-2
+    )
+    for a, b_ in zip(jax.tree.leaves(pool_x), jax.tree.leaves(pool_d)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-2, atol=2e-2
+        )

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--contiguous", action="store_true",
+                    help="probe the contiguous-KV engine instead of paged")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
@@ -54,7 +56,10 @@ def main():
     window = SPEECH_WINDOW
     if window[0] + window[1] > cfg.vocab_size:  # tiny smoke configs
         window = None
-    eng = PagedInferenceEngine(
+    from tts_max_tpu.inference.engine import InferenceEngine
+
+    cls = InferenceEngine if args.contiguous else PagedInferenceEngine
+    eng = cls(
         params, cfg, max_batch=args.batch, max_len=args.max_len, sp=sp,
         vocab_window=window, steps_per_dispatch=args.k,
     )

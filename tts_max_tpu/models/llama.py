@@ -691,12 +691,14 @@ def decode_step_paged(
     if not variant:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        # manual-DMA kernel: grid (B,) with double-buffered page copies —
-        # the BlockSpec-grid kernel's (B, P) grid costs ~20 ms/step at
-        # serving shapes (grid-step overhead x 16 layers), the DMA kernel
-        # reads only allocated pages at bandwidth
-        variant = "dma" if use_pallas else "xla"
+        # dense block-diagonal kernel: per-head flash matmuls ([n_rep, d] x
+        # [d, bs]) are <1% MXU utilization and cost 20-32 ms/step at 1B
+        # batch-64 serving shapes in both the grid and manual-DMA variants
+        # (measured, tools/probe_engine_overhead.py); the dense variant
+        # computes MXU-shaped [hq, flat] products over multi-page blocks
+        variant = "dense" if use_pallas else "xla"
     attn_fn = {
+        "dense": pattn.paged_decode_attention_dense,
         "dma": pattn.paged_decode_attention_dma,
         "grid": pattn.paged_decode_attention,
         "xla": pattn.paged_decode_attention_xla,

@@ -252,6 +252,245 @@ def paged_decode_attention_dma(
     return out.reshape(b, hq, d)
 
 
+def paged_decode_attention_dense(
+    q: jnp.ndarray,
+    k_pool,
+    v_pool,
+    table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    pages_per_block: int = 4,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Dense block-diagonal paged decode attention (the fast TPU variant).
+
+    Measurement drove this design: the per-head flash kernels (grid or
+    manual-DMA) spend their time in [n_rep, d] x [d, bs] matmuls — at GQA
+    serving shapes (n_rep 4, d 64) that is <1% MXU utilization, and B x P x
+    hkv x layers of them cost ~20-32 ms/decode step at 1B batch 64. Here
+    every (sequence, page-group) step runs ONE dense matmul pair instead:
+
+      scores  = Qbd @ K_grp.T   [hq, U*bs]    Qbd [hq, hkv*d] block-diagonal
+      acc    += P_grp @ V_grp   [hq, hkv*d]   (flash-rescaled online)
+
+    Qbd places each query head's d-slice in its kv-head's column block, so
+    the dense product computes exactly the per-head scores (off-head terms
+    multiply zeros; ~hkv x redundant FLOPs, but MXU-shaped). The epilogue
+    extracts each head's [n_rep, d] diagonal block of acc/l. Page groups of
+    ``pages_per_block`` are double-buffered via manual DMAs (grid (B,),
+    static trip counts, predicated tails). int8 KV dequantizes in-VMEM via
+    a [U*bs, hkv] @ E (E[h, h*d+c] = 1) scale-expansion matmul.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kq_pool, k_scale = _split(k_pool)
+    vq_pool, v_scale = _split(v_pool)
+    n_blocks, bs, hkv, d = kq_pool.shape
+    b, p = table.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    quantized = k_scale is not None
+    u = min(pages_per_block, p)
+    n_grp = -(-p // u)
+    flat = hkv * d
+
+    # pools reinterpreted with one 128-aligned minor dim (see _dma docstring)
+    kq_pool = kq_pool.reshape(n_blocks, bs, flat)
+    vq_pool = vq_pool.reshape(n_blocks, bs, flat)
+    sc_w = 0
+    if quantized:
+        sc_w = hkv if hkv % 128 == 0 else hkv + (-hkv) % 128
+        k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
+        v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
+
+    # block-diagonal queries: Qbd[b, (h, r), (h2, c)] = q[b, h, r, c] if
+    # h == h2 else 0 (includes the 1/sqrt(d) scale)
+    qg = q.reshape(b, hkv, n_rep, d).astype(jnp.float32) * (d**-0.5)
+    eye = jnp.eye(hkv, dtype=jnp.float32)
+    qbd = (qg[:, :, :, None, :] * eye[:, None, :, None]).reshape(b, hq, flat)
+    qbd = qbd.astype(q.dtype)
+
+    def kernel(len_ref, tbl_ref, *refs):
+        if quantized:
+            (q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
+             kbuf, vbuf, ksbuf, vsbuf, sem) = refs
+        else:
+            q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sem = refs
+            ks_hbm = vs_hbm = ksbuf = vsbuf = None
+        i = pl.program_id(0)
+        length = len_ref[i]
+        nb = jnp.maximum((length + bs - 1) // bs, 1)  # live pages
+        ng = (nb + u - 1) // u  # live groups
+
+        def start(g, slot):
+            for uu in range(u):  # per-page copies into the group buffer
+                pg = g * u + uu
+
+                @pl.when(pg < nb)
+                def _cp(pg=pg, uu=uu, slot=slot):
+                    blk = tbl_ref[i, pg]
+                    pltpu.make_async_copy(
+                        k_hbm.at[blk],
+                        kbuf.at[slot, pl.ds(uu * bs, bs)],
+                        sem.at[slot, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_hbm.at[blk],
+                        vbuf.at[slot, pl.ds(uu * bs, bs)],
+                        sem.at[slot, 1],
+                    ).start()
+                    if quantized:
+                        pltpu.make_async_copy(
+                            ks_hbm.at[blk],
+                            ksbuf.at[slot, pl.ds(uu * bs, bs)],
+                            sem.at[slot, 2],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vs_hbm.at[blk],
+                            vsbuf.at[slot, pl.ds(uu * bs, bs)],
+                            sem.at[slot, 3],
+                        ).start()
+
+        def wait(g, slot):
+            # one wait per started copy (semaphores count)
+            for uu in range(u):
+                pg = g * u + uu
+
+                @pl.when(pg < nb)
+                def _wt(pg=pg, uu=uu, slot=slot):
+                    blk = tbl_ref[i, pg]
+                    pltpu.make_async_copy(
+                        k_hbm.at[blk],
+                        kbuf.at[slot, pl.ds(uu * bs, bs)],
+                        sem.at[slot, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_hbm.at[blk],
+                        vbuf.at[slot, pl.ds(uu * bs, bs)],
+                        sem.at[slot, 1],
+                    ).wait()
+                    if quantized:
+                        pltpu.make_async_copy(
+                            ks_hbm.at[blk],
+                            ksbuf.at[slot, pl.ds(uu * bs, bs)],
+                            sem.at[slot, 2],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            vs_hbm.at[blk],
+                            vsbuf.at[slot, pl.ds(uu * bs, bs)],
+                            sem.at[slot, 3],
+                        ).wait()
+
+        start(0, 0)
+
+        qb = q_ref[0].astype(jnp.float32)  # [hq, flat] block-diagonal
+        if quantized:
+            # E[h, h*d + c] = 1 (rows >= hkv stay 0 and kill the lane pad):
+            # [U*bs, sc_w] @ E -> per-lane scale expansion, no sub-128 slices
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (sc_w, flat), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (sc_w, flat), 1)
+            expand = (cols // d == rows8).astype(jnp.float32)
+
+        m = jnp.full((hq, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((hq, 1), jnp.float32)
+        acc = jnp.zeros((hq, flat), jnp.float32)
+
+        for g in range(n_grp):
+            slot = g % 2
+
+            @pl.when(g + 1 < ng)
+            def _pre(g=g, slot=slot):
+                start(g + 1, 1 - slot)
+
+            wait(g, slot)
+
+            live = g < ng
+            base = g * u * bs
+            kk = kbuf[slot].astype(jnp.float32)  # [U*bs, flat]
+            vv = vbuf[slot].astype(jnp.float32)
+            if quantized:
+                ks = jnp.dot(ksbuf[slot], expand,
+                             preferred_element_type=jnp.float32)
+                vs = jnp.dot(vsbuf[slot], expand,
+                             preferred_element_type=jnp.float32)
+                kk = kk * ks
+                vv = vv * vs
+            pos = base + jax.lax.broadcasted_iota(
+                jnp.int32, (u * bs, 1), 0
+            )
+            ok = (pos < length) & live
+            vv = jnp.where(ok, vv, 0.0)  # 0*NaN guard for never-DMA'd rows
+            # contract the flat dims directly (a materialized kk.T is an
+            # unsupported tpu.transpose)
+            s = jax.lax.dot_general(
+                qb, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            k_ok = (base + jax.lax.broadcasted_iota(
+                jnp.int32, (hq, u * bs), 1) < length) & live
+            s = jnp.where(k_ok, s, NEG_INF)  # [hq, U*bs]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            pexp = jnp.exp(s - m_new)
+            m = m_new
+            l = alpha * l + jnp.sum(pexp, axis=-1, keepdims=True)
+            acc = alpha * acc + jnp.dot(
+                pexp, vv, preferred_element_type=jnp.float32
+            )
+
+        norm = acc / jnp.maximum(l, 1e-30)  # [hq, flat]
+        # extract each head's diagonal block as a masked sum (sublane-offset
+        # slices don't concatenate in Mosaic; lane-only slices + where do)
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (hq, d), 0) // n_rep
+        out = jnp.zeros((hq, d), jnp.float32)
+        for h in range(hkv):
+            out = out + jnp.where(
+                row_head == h, norm[:, h * d:(h + 1) * d], 0.0
+            )
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    in_specs = [pl.BlockSpec((1, hq, flat), lambda i, *s: (i, 0, 0))]
+    inputs = [qbd, kq_pool]
+    in_specs.append(hbm)
+    if quantized:
+        in_specs.append(hbm)
+        inputs.append(k_scale)
+    in_specs.append(hbm)
+    inputs.append(vq_pool)
+    if quantized:
+        in_specs.append(hbm)
+        inputs.append(v_scale)
+
+    scratch = [
+        pltpu.VMEM((2, u * bs, flat), kq_pool.dtype),
+        pltpu.VMEM((2, u * bs, flat), vq_pool.dtype),
+    ]
+    n_sems = 2
+    if quantized:
+        scratch += [
+            pltpu.VMEM((2, u * bs, sc_w), k_scale.dtype),
+            pltpu.VMEM((2, u * bs, sc_w), v_scale.dtype),
+        ]
+        n_sems = 4
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), table.astype(jnp.int32), *inputs)
+    return out
+
+
 def paged_decode_attention(
     q: jnp.ndarray,
     k_pool,
