@@ -91,7 +91,10 @@ def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, xs, sem, *, tb: int, t: int):
     e = jnp.where(jglob < 0, e0, e)
     o = jnp.where(jglob < 0, e0, o)
     q = jnp.clip(t - 1 - n0 + 3, 0, ne - 1)  # row of O[T-1] in this block
-    olast = jax.lax.dynamic_slice_in_dim(o, q, 1, axis=0)
+    # dynamic_slice of a value doesn't lower on this Mosaic; select the row
+    # with a masked reduction instead
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ne, 1), 0)
+    olast = jnp.sum(jnp.where(rows == q, o, 0.0), axis=0, keepdims=True)
     e = jnp.where(jglob >= t, olast, e)
     o = jnp.where(jglob >= t, olast, o)
 
