@@ -123,3 +123,41 @@ def test_tp_sharded_engine_matches_replicated():
         out = eng.generate_all(prompts, max_new_tokens=8, eos_id=-1)
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_tp_sharded_engine_matches_replicated(paged):
+    """Continuous-batching engine with TP-sharded params (mesh=...) must
+    produce the same tokens as the single-device engine — the reference's
+    vLLM --tensor_parallel_size serving role, paged and contiguous."""
+    from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
+    cfg = llama.tiny_config(vocab_size=512, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    prompts = [
+        np.array([5, 9, 42], dtype=np.int32),
+        np.array(list(range(3, 70)), dtype=np.int32),
+        np.array([7, 8], dtype=np.int32),
+    ]
+
+    def make(engine_params, mesh_arg):  # noqa: ANN001
+        kw = dict(max_batch=2, max_len=128, sp=sp, steps_per_dispatch=4,
+                  mesh=mesh_arg)
+        if paged:
+            return PagedInferenceEngine(
+                engine_params, cfg, block_size=32, **kw
+            )
+        return InferenceEngine(engine_params, cfg, **kw)
+
+    ref = make(params, None).generate_all(prompts, max_new_tokens=8, eos_id=-1)
+    sharded = jax.device_put(params, params_shardings(params, mesh))
+    with mesh:
+        got = make(sharded, mesh).generate_all(
+            prompts, max_new_tokens=8, eos_id=-1
+        )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r.tokens, g.tokens)
+        assert r.finish_reason == g.finish_reason

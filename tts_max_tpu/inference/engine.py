@@ -102,7 +102,16 @@ class InferenceEngine:
         max_top_k: int = 64,
         steps_per_dispatch: int = 1,
         prefill_group_sizes: tuple[int, ...] = (8, 4, 2, 1),
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh for tensor-parallel serving (the
+        reference's vLLM --tensor_parallel_size role). Pass TP-sharded
+        params (parallel.sharding.params_shardings); the engine shards its
+        KV cache over the mesh's ``tensor`` axis (kv heads) and replicates
+        per-slot state — GSPMD propagates the rest and inserts the
+        collectives. Paged engines fall back to the XLA block-gather
+        attention under a mesh (the Pallas kernels do not SPMD-partition)."""
+        self._mesh = mesh
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -148,6 +157,7 @@ class InferenceEngine:
         self.bsp = sampling.BatchedSamplingParams.broadcast(
             sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
         )
+        self._shard_state_for_mesh()
 
         from tts_max_tpu.models.quantization import is_packed4
 
@@ -178,6 +188,54 @@ class InferenceEngine:
         # multi-step: donate the cache (at 8B pool sizes two live copies of
         # the KV pool do not fit HBM) — self.cache is reassigned each call
         self._decode_k = jax.jit(self._decode_multi, donate_argnums=(1,))
+
+    def _shard_state_for_mesh(self) -> None:
+        """TP serving: place the KV cache sharded over the ``tensor`` mesh
+        axis along its kv-head dim and replicate all per-slot state, so the
+        jitted prefill/decode programs see consistently-committed operands
+        (GSPMD propagates from the param shardings)."""
+        if self._mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh
+        rep = NamedSharding(mesh, P())
+        tp = int(mesh.shape.get("tensor", 1))
+        heads_divide = self.cfg.n_kv_heads % max(tp, 1) == 0
+
+        def shard_kv(entry):
+            if not heads_divide:  # e.g. tiny test models: replicate the KV
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, rep), entry
+                )
+            if isinstance(entry, dict):  # int8 KV {"q", "scale"}
+                nq = entry["q"].ndim
+                return {
+                    "q": jax.device_put(
+                        entry["q"],
+                        NamedSharding(mesh, P(*([None] * (nq - 2) + ["tensor", None]))),
+                    ),
+                    "scale": jax.device_put(
+                        entry["scale"],
+                        NamedSharding(
+                            mesh,
+                            P(*([None] * (entry["scale"].ndim - 1) + ["tensor"])),
+                        ),
+                    ),
+                }
+            n = entry.ndim
+            return jax.device_put(
+                entry, NamedSharding(mesh, P(*([None] * (n - 2) + ["tensor", None])))
+            )
+
+        self.cache = {k: shard_kv(v) for k, v in self.cache.items()}
+        for name in ("lengths", "last_logits", "active", "token_counts",
+                     "gen_counts", "rngs", "eos_ids", "budgets",
+                     "min_tokens", "prompt_lens"):
+            setattr(self, name, jax.device_put(getattr(self, name), rep))
+        self.bsp = jax.tree.map(
+            lambda x: jax.device_put(x, rep), self.bsp
+        )
 
     # --- public API ---------------------------------------------------------
 
@@ -641,6 +699,7 @@ class InferenceEngine:
             logits, cache = llama.decode_step_paged(
                 params, self.cfg, cache, toks, lengths, table,
                 logits_head=head,
+                use_pallas=False if self._mesh is not None else None,
             )
         lengths = lengths + inc
         # one packed host blob: [2, B] = (tokens, pre-step active mask) —
@@ -707,6 +766,7 @@ class InferenceEngine:
                 logits, cache = llama.decode_step_paged(
                     params, self.cfg, cache, toks, lengths, table,
                     logits_head=head,
+                    use_pallas=False if self._mesh is not None else None,
                 )
             lengths = lengths + inc
             return (
@@ -869,6 +929,7 @@ class PagedInferenceEngine(InferenceEngine):
         enable_prefix_cache: bool = False,
         max_top_k: int = 64,
         steps_per_dispatch: int = 1,
+        mesh=None,
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -909,7 +970,7 @@ class PagedInferenceEngine(InferenceEngine):
             params, cfg, max_batch=max_batch, max_len=max_len, sp=sp,
             pad_id=pad_id, quantized_kv=quantized_kv,
             vocab_window=vocab_window, max_top_k=max_top_k,
-            steps_per_dispatch=steps_per_dispatch,
+            steps_per_dispatch=steps_per_dispatch, mesh=mesh,
         )
 
     def _make_cache(self):
