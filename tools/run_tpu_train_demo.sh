@@ -59,16 +59,14 @@ import json, sys
 demo = sys.argv[1]
 rows = [json.loads(l) for l in open(f"{demo}/run/metrics.jsonl")]
 
-def find(r, frag):
-    for k, v in r.items():
-        if frag in k and isinstance(v, (int, float)):
-            return v
-    return None
-
 curve = [
-    {"step": r["step"], "loss": find(r, "loss"),
-     "tokens_per_sec": find(r, "tokens_per_sec") or find(r, "per_sec")}
-    for r in rows if find(r, "loss") is not None
+    {"step": r["step"],
+     "loss": r.get("loss/total", r.get("val/loss/total")),
+     "kind": "train" if "loss/total" in r else "val",
+     "samples_per_sec": r.get("samples_per_sec"),
+     "grad_norm": r.get("grad_norm")}
+    for r in rows
+    if r.get("loss/total", r.get("val/loss/total")) is not None
 ]
 json.dump(curve, open("bench_logs/train_demo_loss.json", "w"), indent=1)
 print(f"{len(curve)} loss points; first {curve[0] if curve else None}; "
