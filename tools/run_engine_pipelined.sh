@@ -12,9 +12,13 @@ run() {
   timeout "$t" python tools/bench_engine.py "$@" 2>&1 | tail -4 | tee -a "$LOG"
   echo "--- rc=$?" | tee -a "$LOG"
 }
+echo "=== $(date +%H:%M:%S) overhead probe" | tee -a "$LOG"
+timeout 2400 python tools/probe_engine_overhead.py --k 16 --batch 64 2>&1 | tail -3 | tee -a "$LOG"
+timeout 2400 python tools/probe_engine_overhead.py --k 64 --batch 64 2>&1 | tail -3 | tee -a "$LOG"
 run 2400 --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 16 --requests 256
 run 2400 --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 --requests 256
 run 2400 --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 64 --requests 256
+run 2400 --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 128 --requests 256 --budget 512 --max-len 1024
 run 2400 --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 --requests 256 --no-pipeline
 run 2400 --arch llama-1b --quantize int4 --max-batch 64 --steps-per-dispatch 32 --requests 256
 run 2400 --arch llama-1b --quantize int8 --max-batch 128 --steps-per-dispatch 32 --requests 384
