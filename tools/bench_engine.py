@@ -122,11 +122,24 @@ def main():
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
-    params = jax.jit(
-        lambda k: llama.init_params(k, cfg, dtype=jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
-    if args.quantize != "none":
-        params = quantization.quantize_for_serving(params, args.quantize)
+    # init + quantize fused in ONE jit: the bf16 tree never materializes in
+    # HBM (an 8B bf16 tree alone is ~16 GB and OOMs the chip before
+    # quantization can halve it)
+    mode, group_size = args.quantize, None
+    if mode.startswith("int4-g"):
+        group_size = int(mode[len("int4-g"):])
+        mode = "int4"
+    bits = {"int8": 8, "int4": 4}.get(mode)
+
+    def init(k):
+        p = llama.init_params(k, cfg, dtype=jnp.bfloat16)
+        if bits is not None:
+            p = quantization.quantize_llama_params(
+                p, bits=bits, group_size=group_size
+            )
+        return p
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
     window = None if args.no_window else SPEECH_WINDOW
     sp = SamplingParams(temperature=0.8, top_k=50, repetition_penalty=1.1,
                         frequency_penalty=0.3)

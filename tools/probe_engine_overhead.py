@@ -46,11 +46,22 @@ def main():
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
-    params = jax.jit(
-        lambda k: llama.init_params(k, cfg, dtype=jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
-    if args.quantize != "none":
-        params = quantization.quantize_for_serving(params, args.quantize)
+    # init + quantize fused in ONE jit (the bf16 8B tree alone OOMs 16 GB)
+    mode, group_size = args.quantize, None
+    if mode.startswith("int4-g"):
+        group_size = int(mode[len("int4-g"):])
+        mode = "int4"
+    bits = {"int8": 8, "int4": 4}.get(mode)
+
+    def init(k):
+        p = llama.init_params(k, cfg, dtype=jnp.bfloat16)
+        if bits is not None:
+            p = quantization.quantize_llama_params(
+                p, bits=bits, group_size=group_size
+            )
+        return p
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
     sp = SamplingParams(temperature=0.8, top_k=50, repetition_penalty=1.1,
                         frequency_penalty=0.3)
     window = SPEECH_WINDOW
