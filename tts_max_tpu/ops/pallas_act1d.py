@@ -109,6 +109,18 @@ def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, xs, sem, *, tb: int, t: int):
 def _act1d_2d(x2, alpha2, beta2, tb: int = 512, interpret: bool = False):
     """x2: [T, D] float32 -> [T, D]; alpha2/beta2: [D] snake params."""
     t, d = x2.shape
+    # the manual HBM->VMEM DMA slices require a 128-aligned lane dim
+    # (Mosaic memref_slice tiling); pad channels with zeros — snake(0)=0 and
+    # the taps act along time only, so the pad stays inert
+    pad_d = (-d) % 128
+    if pad_d:
+        out = _act1d_2d(
+            jnp.pad(x2, ((0, 0), (0, pad_d))),
+            jnp.pad(alpha2, (0, pad_d)),
+            jnp.pad(beta2, (0, pad_d)),
+            tb=tb, interpret=interpret,
+        )
+        return out[:, :d]
     nblk = pl.cdiv(t, tb)
     # halo window: 6 rows of left edge-pad; right edge-pad + slack so every
     # DMA window (tb + _HALO rows from n0) is in bounds
@@ -152,6 +164,11 @@ def activation1d_pallas(
     x2 = jnp.swapaxes(x, 0, 1).reshape(t, b * c).astype(jnp.float32)
     alpha2 = jnp.tile(p["alpha"].astype(jnp.float32), b)
     beta2 = jnp.tile(p["beta"].astype(jnp.float32), b)
+    # scoped-VMEM budget: the E/O streams + scratch + pipelined in/out
+    # blocks cost ~8x tb*d floats; tb=512 at d=768 overflowed the 16 MB
+    # stack by 0.7 MB on the real chip, so scale tb down with lane width
+    d_pad = b * c + ((-(b * c)) % 128)
+    tb = min(tb, max(64, (200_000 // max(d_pad, 1)) // 8 * 8))
     tb = min(tb, max(8, (t + 7) // 8 * 8))
     y2 = _act1d_2d(x2, alpha2, beta2, tb=tb, interpret=interpret)
     return y2.reshape(t, b, c).swapaxes(0, 1).astype(x.dtype)
