@@ -22,6 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_threefry_partitionable", True)
 
+from tts_max_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 

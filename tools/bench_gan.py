@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tts_max_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 
