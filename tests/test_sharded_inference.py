@@ -126,14 +126,23 @@ def test_tp_sharded_engine_matches_replicated():
 
 
 @pytest.mark.parametrize("paged", [False, True])
-def test_tp_sharded_engine_matches_replicated(paged):
+def test_tp_sharded_engine_matches_replicated_multistep(paged):
     """Continuous-batching engine with TP-sharded params (mesh=...) must
     produce the same tokens as the single-device engine — the reference's
-    vLLM --tensor_parallel_size serving role, paged and contiguous."""
+    vLLM --tensor_parallel_size serving role, paged and contiguous.
+
+    fp32 compute like the test above: TP splits each matmul's reduction
+    over 8 devices, and bf16 accumulation-order noise flips greedy
+    near-ties on a random model."""
+    import dataclasses
+
     from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
 
     mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
-    cfg = llama.tiny_config(vocab_size=512, max_seq_len=128)
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=512, max_seq_len=128),
+        dtype=jnp.float32,
+    )
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
                         frequency_penalty=0.0)

@@ -235,6 +235,12 @@ class TtsServer:
 
 def make_handler(server: TtsServer):
     class Handler(BaseHTTPRequestHandler):
+        # /stream uses chunked transfer encoding, which HTTP/1.0 does not
+        # define — with the BaseHTTPRequestHandler default a strict client
+        # would read the chunk-size framing bytes as WAV audio. Every other
+        # response sends Content-Length, so keep-alive semantics are safe.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *a):  # route through our logger
             log.info("%s " + fmt, self.client_address[0], *a)
 
@@ -303,6 +309,12 @@ def make_handler(server: TtsServer):
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away; cancel below frees the slot
+            except Exception:
+                # headers are already sent: a second response (do_POST's
+                # _json error path) would emit corrupt framing mid-body —
+                # log and just close the connection instead
+                log.exception("stream failed mid-body; closing connection")
+                self.close_connection = True
             finally:
                 server.finish_stream(rid)
 

@@ -688,6 +688,10 @@ def decode_step_paged(
     from tts_max_tpu.ops import paged_attention as pattn
 
     variant = os.environ.get("TTS_MAX_PAGED_ATTN", "")
+    if use_pallas is False and variant not in ("", "xla"):
+        # an explicit use_pallas=False (the TP-mesh engine path: Pallas
+        # kernels do not SPMD-partition) must win over the env-var override
+        variant = "xla"
     if not variant:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
