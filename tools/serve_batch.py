@@ -129,6 +129,9 @@ def main(argv=None):
         log.info("Warmup done in %.1fs", time.perf_counter() - t_w)
 
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]
+    from tts_max_tpu.data import normalization
+
+    normalizer = normalization.create()
     default_sp = SamplingParams()
     meta: dict[int, dict] = {}
     t0 = time.perf_counter()
@@ -139,8 +142,11 @@ def main(argv=None):
             speech_ids = np.asarray(
                 encoder.encode(req["prompt_wav"], wav)
             ).ravel().tolist()
+        # per-request language tag, else detection (reference
+        # text_normalization.py:73-90 routes by lingua detection)
+        text = normalizer.normalize(req["text"], req.get("language") or None)
         prompt = prompting.compile_inference_prompt(
-            req.get("prompt_transcript", ""), req["text"], speech_ids,
+            req.get("prompt_transcript", ""), text, speech_ids,
             req.get("voice_description", ""), True,
         )
         input_ids = np.asarray(

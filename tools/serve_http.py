@@ -94,12 +94,15 @@ class TtsServer:
     """Engine + worker thread + synchronous request API."""
 
     def __init__(self, engine, tokenizer, sv, encoder, decoder,
-                 default_max_tokens: int, max_len: int):
+                 default_max_tokens: int, max_len: int, normalizer=None):
+        from tts_max_tpu.data import normalization
+
         self.engine = engine
         self.tokenizer = tokenizer
         self.sv = sv
         self.encoder = encoder
         self.decoder = decoder
+        self.normalizer = normalizer or normalization.create()
         self.default_max_tokens = default_max_tokens
         self.max_len = max_len
         self._lock = threading.Lock()
@@ -164,8 +167,14 @@ class TtsServer:
             speech_ids = np.asarray(
                 self.encoder.encode(body["prompt_wav"], wav)
             ).ravel().tolist()
+        # normalize the free text, routing by the request's language tag or
+        # detection (reference text_normalization.py:73-90): a zh sentence
+        # posted without a tag gets zh verbalization, not English
+        text = self.normalizer.normalize(
+            body["text"], body.get("language") or None
+        )
         prompt = prompting.compile_inference_prompt(
-            body.get("prompt_transcript", ""), body["text"], speech_ids,
+            body.get("prompt_transcript", ""), text, speech_ids,
             body.get("voice_description", ""), True,
         )
         input_ids = np.asarray(

@@ -86,13 +86,17 @@ class LocalTtsModel:
         speech_vocab: SpeechVocab,
         audio_encoder,  # CachingAudioEncoder
         audio_decoder,  # AudioDecoder
+        normalizer=None,  # TextNormalizer; None = normalization.create()
     ):
+        from tts_max_tpu.data import normalization
+
         self._params = params
         self._cfg = cfg
         self._tokenizer = tokenizer
         self._sv = speech_vocab
         self._audio_encoder = audio_encoder
         self._audio_decoder = audio_decoder
+        self._normalizer = normalizer or normalization.create()
         self._gen_cache: dict = {}
 
     def _vocab_window(self, settings: InferenceSettings):
@@ -147,7 +151,13 @@ class LocalTtsModel:
         audio_prompt_transcription: str,
         voice_description: str = "",
         enable_instruction: bool = True,
+        language: str | None = None,
     ) -> InferenceResult:
+        # normalize free text, routing by the caller's language tag or
+        # detection (reference text_normalization.py:73-90)
+        text_to_synthesize = self._normalizer.normalize(
+            text_to_synthesize, language
+        )
         speech_ids: list[int] = []
         encoding_time = 0.0
         if not voice_description or enable_instruction:
