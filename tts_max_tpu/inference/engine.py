@@ -42,6 +42,7 @@ of compute; K-step pipelined dispatch amortizes the round-trip to nothing.
 from __future__ import annotations
 
 import collections
+import functools
 import hashlib
 import itertools
 from dataclasses import dataclass, field
@@ -103,6 +104,9 @@ class InferenceEngine:
         steps_per_dispatch: int = 1,
         prefill_group_sizes: tuple[int, ...] = (8, 4, 2, 1),
         mesh=None,
+        staged_cache: bool = True,
+        min_stage: int = 256,
+        admission_policy: str = "fifo",
     ):
         """``mesh``: a jax.sharding.Mesh for tensor-parallel serving (the
         reference's vLLM --tensor_parallel_size role). Pass TP-sharded
@@ -110,7 +114,30 @@ class InferenceEngine:
         KV cache over the mesh's ``tensor`` axis (kv heads) and replicates
         per-slot state — GSPMD propagates the rest and inserts the
         collectives. Paged engines fall back to the XLA block-gather
-        attention under a mesh (the Pallas kernels do not SPMD-partition)."""
+        attention under a mesh (the Pallas kernels do not SPMD-partition).
+
+        ``staged_cache``: right-size each decode dispatch's KV-cache read
+        to the pool's occupancy high-water mark instead of always reading
+        the full ``max_len`` reservation (the engine analog of the generate
+        path's staged cache, +48-73% long-form there). Per dispatch the
+        host picks the smallest stage in {min_stage, 2*min_stage, ...,
+        max_len} covering every active slot's length plus the dispatch's
+        worst-case growth; the K-step program slices the cache to that
+        stage, decodes, and scatters the region back (2 stage-sized copies
+        amortized over K steps). Attention/HBM traffic per step then
+        follows occupancy, not the worst case — the round-3 probe measured
+        14.0 ms/step at a fixed 768-slot cache vs ~6.6 ms at 192 slots for
+        the same model. Paged engines instead slice the BLOCK TABLE to the
+        stage's width (no copies; the kernels' page walk shortens).
+        Stages above max_len collapse, so max_len <= min_stage disables
+        staging. Numerically exact either way: attention is masked by
+        per-slot lengths.
+
+        ``admission_policy``: ``"fifo"`` (default, vLLM-style arrival
+        order) or ``"shortest"`` — shortest-job-first by prompt + budget,
+        which under saturation admits cheap requests ahead of long ones
+        and cuts TTFT p50/p95 (long requests can starve under sustained
+        overload; use with a client-side timeout)."""
         self._mesh = mesh
         self.params = params
         self.cfg = cfg
@@ -120,6 +147,15 @@ class InferenceEngine:
         self.pad_id = pad_id
         self.quantized_kv = quantized_kv
         self.steps_per_dispatch = steps_per_dispatch
+        if admission_policy not in ("fifo", "shortest"):
+            raise ValueError(f"unknown admission_policy {admission_policy!r}")
+        self.admission_policy = admission_policy
+        # staged-dispatch schedule: doubling from min_stage up to max_len
+        self.staged_cache = staged_cache and min_stage < max_len
+        sizes = [min(min_stage, max_len)]
+        while sizes[-1] < max_len:
+            sizes.append(min(max_len, sizes[-1] * 2))
+        self._stages: tuple[int, ...] = tuple(sizes)
         # Batched admission: queued requests prefill together in groups of
         # these sizes (largest fitting first; must include 1). Each batch-1
         # prefill costs a full host->device round-trip (~30 ms on a relayed
@@ -184,10 +220,49 @@ class InferenceEngine:
         self._pending_dispatch = None
         self._ids = itertools.count()
         self._prefill_cache: dict[int, Callable] = {}
-        self._decode = jax.jit(self._decode_step)
+        # one decode program per cache stage (stage=None reads full max_len);
         # multi-step: donate the cache (at 8B pool sizes two live copies of
         # the KV pool do not fit HBM) — self.cache is reassigned each call
-        self._decode_k = jax.jit(self._decode_multi, donate_argnums=(1,))
+        self._decode_cache: dict = {}
+        self._decode_k_cache: dict = {}
+
+    def _decode_jit(self, stage):
+        if stage not in self._decode_cache:
+            self._decode_cache[stage] = jax.jit(
+                functools.partial(self._decode_step, stage=stage)
+            )
+        return self._decode_cache[stage]
+
+    def _decode_k_jit(self, stage):
+        if stage not in self._decode_k_cache:
+            self._decode_k_cache[stage] = jax.jit(
+                functools.partial(self._decode_multi, stage=stage),
+                donate_argnums=(1,),
+            )
+        return self._decode_k_cache[stage]
+
+    def _dispatch_stage(self) -> int | None:
+        """Smallest cache stage covering every active slot's length plus
+        this dispatch's worst-case growth (host-side views lag the device
+        by up to K tokens per in-flight dispatch). None = full max_len
+        (staging disabled or the top stage)."""
+        if not self.staged_cache:
+            return None
+        margin = self.steps_per_dispatch * (
+            2 if self._pending_dispatch is not None else 1
+        )
+        need = 1
+        for s in self._slots:
+            if s.request is None:
+                continue
+            r = s.request
+            cur = len(r.prompt_tokens) + len(s.generated)
+            cap = len(r.prompt_tokens) + r.max_new_tokens
+            need = max(need, min(cur + margin, cap))
+        for size in self._stages:
+            if size >= need:
+                return None if size >= self.max_len else size
+        return None
 
     def _shard_state_for_mesh(self) -> None:
         """TP serving: place the KV cache sharded over the ``tensor`` mesh
@@ -398,7 +473,7 @@ class InferenceEngine:
     def _flush_deferred_releases(self) -> None:
         pass
 
-    def _table_device(self):
+    def _table_device(self, stage=None):
         """Block table for paged subclasses; None selects contiguous decode."""
         return None
 
@@ -563,6 +638,14 @@ class InferenceEngine:
         raise NotImplementedError  # paged-only path
 
     def _admit(self) -> None:
+        if self.admission_policy == "shortest" and len(self._queue) > 1:
+            # shortest-job-first: cheap requests stop queueing behind long
+            # ones, cutting TTFT under saturation (stable sort preserves
+            # arrival order within a size class)
+            self._queue = collections.deque(sorted(
+                self._queue,
+                key=lambda r: len(r.prompt_tokens) + r.max_new_tokens,
+            ))
         while self._queue:
             free = [i for i, s in enumerate(self._slots) if s.request is None]
             if not free:
@@ -636,7 +719,13 @@ class InferenceEngine:
                     self.prompt_lens, self.bsp, *extra,
                 )
                 np.asarray(out[2])  # fetch a small leaf: forces completion
-        self._run_decode()  # compiles + runs the decode program (no-op pool)
+        # compile + run the decode program at EVERY stage the staged
+        # dispatcher can pick (all-idle pool: harmless, see above) so no
+        # serving-time dispatch hits a cold compile
+        stages = ([s for s in self._stages if s < self.max_len] + [None]
+                  if self.staged_cache else [None])
+        for stage in stages:
+            self._run_decode(stage)
 
     def _warmup_scatter_args(self, g: int, bucket: int) -> tuple:
         return ()
@@ -656,10 +745,48 @@ class InferenceEngine:
             )
         return sampling.counts_from_tokens(tokens, mask, self.cfg.vocab_size)
 
+    @staticmethod
+    def _slice_stage(cache, stage):
+        """[:, :, :stage] of every cache leaf (token axis 2)."""
+        return jax.tree.map(
+            lambda x: jax.lax.slice_in_dim(x, 0, stage, axis=2), cache
+        )
+
+    @staticmethod
+    def _unslice_stage(full, staged):
+        """Scatter the staged region back into the full-size cache."""
+        return jax.tree.map(
+            lambda big, s: jax.lax.dynamic_update_slice_in_dim(
+                big, s.astype(big.dtype), 0, axis=2
+            ),
+            full, staged,
+        )
+
+    @staticmethod
+    def _guard_lengths(cache, lengths, active, table):
+        """Write-index guard for INACTIVE slots (finished/cancelled — their
+        KV is dead until re-prefill, but the lockstep program still scatters
+        a row for them): a stagnant length may exceed a staged dispatch's
+        cache slice / table width and must never index out of range.
+        Contiguous: route the dead write to row 0 of the slot's own region.
+        Paged: clamp to the (possibly stage-sliced) table's range — row 0
+        could be a SHARED prefix-cache block, while the clamped position is
+        at or past the slot's own generated region (active slots are under
+        the limit by the stage invariant, so this is the identity for
+        them)."""
+        if table is None:
+            return jnp.where(active, lengths, 0)
+        limit = table.shape[1] * llama.paged_block_size(cache)
+        return jnp.minimum(lengths, limit - 1)
+
     def _decode_step(self, params, cache, last_logits, lengths, active,
                      token_counts, gen_counts, rngs, bsp, eos_ids,
-                     min_tokens, prompt_lens, table=None):
-        """One lockstep decode over the whole pool (masked inactive slots)."""
+                     min_tokens, prompt_lens, table=None, *, stage=None):
+        """One lockstep decode over the whole pool (masked inactive slots).
+
+        ``stage`` is ignored here: slicing the cache costs 2 stage-sized
+        copies per program, which only amortizes over multi-step dispatches
+        (the paged table, pre-sliced by the caller, still applies)."""
         b = self.max_batch
         lo = self.vocab_window[0] if self.vocab_window else 0
         keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
@@ -691,13 +818,14 @@ class InferenceEngine:
         token_counts = token_counts.at[idx, cidx].add(inc)
         gen_counts = gen_counts.at[idx, cidx].add(inc)
         head = self._logits_head(params)
+        lengths_w = self._guard_lengths(cache, lengths, active, table)
         if table is None:
             logits, cache = llama.decode_step(
-                params, self.cfg, cache, toks, lengths, logits_head=head
+                params, self.cfg, cache, toks, lengths_w, logits_head=head
             )
         else:
             logits, cache = llama.decode_step_paged(
-                params, self.cfg, cache, toks, lengths, table,
+                params, self.cfg, cache, toks, lengths_w, table,
                 logits_head=head,
                 use_pallas=False if self._mesh is not None else None,
             )
@@ -709,7 +837,8 @@ class InferenceEngine:
 
     def _decode_multi(self, params, cache, last_logits, lengths, active,
                       token_counts, gen_counts, rngs, bsp, eos_ids,
-                      min_tokens, prompt_lens, budgets, table=None):
+                      min_tokens, prompt_lens, budgets, table=None, *,
+                      stage=None):
         """``steps_per_dispatch`` lockstep decode steps in ONE program.
 
         Finish detection (EOS sampled, or budget exhausted) runs in-program:
@@ -720,10 +849,21 @@ class InferenceEngine:
         Packed int4 params unpack to their S4 view once here, amortized over
         all K steps — this is what makes int4 serving-engine-viable
         (models/quantization.unpack_packed_params).
+
+        ``stage`` (contiguous engines): slice the cache's token axis to the
+        dispatch's occupancy high-water stage, run the K steps against the
+        slice, and scatter the region back — every step's attention/HBM read
+        then covers ``stage`` slots instead of ``max_len`` at the cost of 2
+        stage-sized copies per dispatch (~2/K per step). Paged engines get
+        the same effect from the pre-sliced block table instead.
         """
         from tts_max_tpu.models.quantization import unpack_packed_params
 
         params = unpack_packed_params(params)
+        full_cache = None
+        if stage is not None and table is None:
+            full_cache = cache
+            cache = self._slice_stage(cache, stage)
         b = self.max_batch
         lo = self.vocab_window[0] if self.vocab_window else 0
         head = self._logits_head(params)
@@ -758,13 +898,15 @@ class InferenceEngine:
                 (toks == eos_ids) | (n_gen + inc >= budgets)
             )
             active = active & ~finished
+            lengths_w = self._guard_lengths(cache, lengths, active, table)
             if table is None:
                 logits, cache = llama.decode_step(
-                    params, self.cfg, cache, toks, lengths, logits_head=head
+                    params, self.cfg, cache, toks, lengths_w,
+                    logits_head=head
                 )
             else:
                 logits, cache = llama.decode_step_paged(
-                    params, self.cfg, cache, toks, lengths, table,
+                    params, self.cfg, cache, toks, lengths_w, table,
                     logits_head=head,
                     use_pallas=False if self._mesh is not None else None,
                 )
@@ -779,6 +921,8 @@ class InferenceEngine:
         carry, (toks_k, emitted_k) = jax.lax.scan(
             step, carry, None, length=self.steps_per_dispatch
         )
+        if full_cache is not None:
+            carry = (self._unslice_stage(full_cache, carry[0]),) + carry[1:]
         # one packed host blob: [2K+1, B] = (K token rows, K emitted rows,
         # final active row) — a single fetch instead of three
         packed = jnp.concatenate(
@@ -808,28 +952,30 @@ class InferenceEngine:
             return True
         return False
 
-    def _dispatch_decode(self):
+    def _dispatch_decode(self, stage="auto"):
         """Issue one multi-step decode dispatch (async); chain the device
         state to its outputs. Returns (packed blob future, snapshot of the
         request id occupying each slot at dispatch time) — under pipelining
         a blob is processed AFTER later admissions, so its rows must be
         attributed to the occupants it was dispatched for."""
+        if stage == "auto":
+            stage = self._dispatch_stage()
         snapshot = [
             s.request.request_id if s.request is not None else None
             for s in self._slots
         ]
         (self.cache, self.last_logits, self.lengths, self.active,
          self.token_counts, self.gen_counts, self.rngs,
-         packed) = self._decode_k(
+         packed) = self._decode_k_jit(stage)(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
             self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
-            self.budgets, self._table_device(),
+            self.budgets, self._table_device(stage),
         )
         return packed, snapshot
 
-    def _run_decode_multi(self) -> None:
-        packed, snapshot = self._dispatch_decode()
+    def _run_decode_multi(self, stage="auto") -> None:
+        packed, snapshot = self._dispatch_decode(stage)
         self._process_decode_blob(np.asarray(packed), snapshot)
 
     def _process_decode_blob(self, blob: np.ndarray, snapshot) -> None:
@@ -869,16 +1015,18 @@ class InferenceEngine:
                 f"run() would spin forever"
             )
 
-    def _run_decode(self) -> None:
+    def _run_decode(self, stage="auto") -> None:
         if self.steps_per_dispatch > 1:
-            self._run_decode_multi()
+            self._run_decode_multi(stage)
             return
+        if stage == "auto":
+            stage = self._dispatch_stage()
         (packed, logits, self.cache, self.lengths, self.token_counts,
-         self.gen_counts, self.rngs) = self._decode(
+         self.gen_counts, self.rngs) = self._decode_jit(stage)(
             self.params, self.cache, self.last_logits, self.lengths,
             self.active, self.token_counts, self.gen_counts, self.rngs,
             self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
-            self._table_device(),
+            self._table_device(stage),
         )
         self.last_logits = logits
         blob = np.asarray(packed)  # ONE fetch: [2, B]
@@ -930,6 +1078,9 @@ class PagedInferenceEngine(InferenceEngine):
         max_top_k: int = 64,
         steps_per_dispatch: int = 1,
         mesh=None,
+        staged_cache: bool = True,
+        min_stage: int = 256,
+        admission_policy: str = "fifo",
     ):
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
@@ -954,6 +1105,7 @@ class PagedInferenceEngine(InferenceEngine):
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
         self._table_dirty = True
         self._table_dev = None
+        self._table_dev_w = -1
         # --- prefix cache state ---
         self.enable_prefix_cache = enable_prefix_cache
         self._refs = np.zeros((self.num_blocks,), dtype=np.int64)
@@ -971,6 +1123,8 @@ class PagedInferenceEngine(InferenceEngine):
             pad_id=pad_id, quantized_kv=quantized_kv,
             vocab_window=vocab_window, max_top_k=max_top_k,
             steps_per_dispatch=steps_per_dispatch, mesh=mesh,
+            staged_cache=staged_cache, min_stage=min_stage,
+            admission_policy=admission_policy,
         )
 
     def _make_cache(self):
@@ -1069,10 +1223,19 @@ class PagedInferenceEngine(InferenceEngine):
         blocks, self._deferred_free = self._deferred_free, []
         self._free_block_list(blocks)
 
-    def _table_device(self):
-        # upload the block table only when it changed, not per dispatch
-        if self._table_dirty:
-            self._table_dev = jnp.asarray(self._table)
+    def _table_device(self, stage=None):
+        # upload the block table only when it changed, not per dispatch;
+        # under a staged dispatch only the first ceil(stage/bs) columns ride
+        # along — the attention kernels' page walk (and the XLA gather)
+        # scales with table width, so this is the paged analog of the
+        # contiguous engine's cache-slice staging, with no copy at all
+        w = (self.table_width if stage is None
+             else -(-stage // self.block_size))
+        if self._table_dirty or w != self._table_dev_w:
+            self._table_dev = jnp.asarray(
+                np.ascontiguousarray(self._table[:, :w])
+            )
+            self._table_dev_w = w
             self._table_dirty = False
         return self._table_dev
 
