@@ -29,7 +29,7 @@ def http_server(tmp_path_factory):
         model_dir=model_dir, codec_decoder="", codec_encoder="",
         max_batch=2, max_len=256, block_size=64, max_tokens=8,
         quantize="", quantized_kv=False, no_constrain=False,
-        steps_per_dispatch=4, no_warmup=True,
+        steps_per_dispatch=4, no_warmup=True, engine="paged",
     )
     server = serve_http.build_server(args)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_http.make_handler(server))
@@ -47,6 +47,42 @@ def _post(url, body):
         headers={"Content-Type": "application/json"},
     )
     return urllib.request.urlopen(req, timeout=300)
+
+
+def test_contiguous_engine_server(tmp_path):
+    """The CLI default (--engine contiguous, the measured-fastest mode)
+    serves /generate and /stats."""
+    from tools import serve_http
+
+    cfg = llama.tiny_config(vocab_size=512, max_seq_len=256)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    model_dir = str(tmp_path / "model")
+    hf_import.save_model_to_hf_dir(params, cfg, model_dir)
+    args = argparse.Namespace(
+        model_dir=model_dir, codec_decoder="", codec_encoder="",
+        max_batch=2, max_len=256, block_size=64, max_tokens=8,
+        quantize="", quantized_kv=False, no_constrain=False,
+        steps_per_dispatch=4, no_warmup=True, engine="contiguous",
+        admission_policy="shortest",
+    )
+    server = serve_http.build_server(args)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_http.make_handler(server)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with _post(url + "/generate", {"text": "hi", "max_tokens": 4}) as r:
+            out = json.load(r)
+        assert len(out["tokens"]) <= 4
+        with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+            s = json.load(r)
+        assert s["max_batch"] == 2 and "free_blocks" not in s
+    finally:
+        httpd.shutdown()
+        server.shutdown()
 
 
 def test_health_and_stats(http_server):

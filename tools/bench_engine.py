@@ -118,6 +118,10 @@ def main():
     ap.add_argument("--no-pipeline", action="store_true",
                     help="drive engine.step() synchronously instead of the "
                          "pipelined run_iter() serving loop")
+    ap.add_argument("--no-staged", action="store_true",
+                    help="disable staged (occupancy-sized) dispatches")
+    ap.add_argument("--min-stage", type=int, default=256)
+    ap.add_argument("--policy", choices=["fifo", "shortest"], default="fifo")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -148,6 +152,8 @@ def main():
         max_batch=args.max_batch, max_len=args.max_len, sp=sp,
         quantized_kv=args.kv == "int8", vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
+        staged_cache=not args.no_staged, min_stage=args.min_stage,
+        admission_policy=args.policy,
     )
     if args.contiguous:
         engine = InferenceEngine(params, cfg, **kw)
@@ -195,7 +201,9 @@ def main():
     print(
         f"engine {args.arch} {args.quantize} kv={args.kv} "
         f"pool={args.max_batch} K={args.steps_per_dispatch}"
-        f"{' sync' if args.no_pipeline else ''}: "
+        f"{' sync' if args.no_pipeline else ''}"
+        f"{' unstaged' if args.no_staged else ' staged'}"
+        f"{' sjf' if args.policy == 'shortest' else ''}: "
         f"{r['tok_per_s']:.0f} tok/s  "
         f"TTFT p50 {r['ttft_p50'] * 1e3:.0f}ms p95 {r['ttft_p95'] * 1e3:.0f}ms  "
         f"latency p50 {r['latency_p50']:.2f}s p95 {r['latency_p95']:.2f}s  "

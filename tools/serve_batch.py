@@ -39,7 +39,7 @@ from tts_max_tpu.core import prompting
 from tts_max_tpu.core.constants import CODEC_SAMPLE_RATE, CODEC_TOKEN_RATE
 from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
 from tts_max_tpu.data.audio_io import load_wav, save_wav
-from tts_max_tpu.inference.engine import PagedInferenceEngine
+from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
 from tts_max_tpu.models import hf_import
 from tts_max_tpu.ops.sampling import SamplingParams
 from tts_max_tpu.utils.logging import get_logger, setup_logging
@@ -86,6 +86,19 @@ def main(argv=None):
     )
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip the startup compile warmup")
+    parser.add_argument(
+        "--engine", choices=["contiguous", "paged"], default="contiguous",
+        help="KV layout: 'contiguous' is the measured-fastest mode "
+        "(BENCHMARKS.md serving table); 'paged' (vLLM block pool) admits "
+        "more mixed-length traffic per GB and enables the prefix cache",
+    )
+    parser.add_argument(
+        "--admission_policy", choices=["fifo", "shortest"], default="fifo",
+        help="'shortest' = shortest-job-first admission (better TTFT "
+        "under saturation; long requests can starve under overload)",
+    )
+    parser.add_argument("--no_staged_cache", action="store_true",
+                        help="disable staged (occupancy-sized) dispatches")
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
     setup_logging(0)
@@ -113,14 +126,24 @@ def main(argv=None):
         log.warning("speech window %s exceeds model vocab %d; disabling the "
                     "constraint", window, cfg.vocab_size)
         window = None
-    engine = PagedInferenceEngine(
-        jax.tree_util.tree_map(jnp.asarray, params), cfg,
+    kw = dict(
         max_batch=args.max_batch, max_len=args.max_len,
-        block_size=args.block_size, quantized_kv=args.quantized_kv,
-        enable_prefix_cache=not args.no_prefix_cache,
-        vocab_window=window,
+        quantized_kv=args.quantized_kv, vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
+        staged_cache=not args.no_staged_cache,
+        admission_policy=args.admission_policy,
     )
+    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
+    if args.engine == "paged":
+        engine = PagedInferenceEngine(
+            dev_params, cfg, block_size=args.block_size,
+            enable_prefix_cache=not args.no_prefix_cache, **kw
+        )
+    else:
+        if not args.no_prefix_cache:
+            log.info("contiguous engine: prefix caching is paged-only "
+                     "(shared voice prompts re-prefill each time)")
+        engine = InferenceEngine(dev_params, cfg, **kw)
 
     if not args.no_warmup:
         log.info("Warmup: compiling prefill/decode programs ...")
@@ -177,11 +200,12 @@ def main(argv=None):
     gen_time = time.perf_counter() - t0
     total_tokens = sum(len(c.tokens) for c in completions)
     log.info(
-        "Generated %d completions, %d tokens in %.1fs (%.0f tok/s); "
-        "prefix cache: %d block hits / %d misses",
+        "Generated %d completions, %d tokens in %.1fs (%.0f tok/s)",
         len(completions), total_tokens, gen_time, total_tokens / gen_time,
-        engine.prefix_cache_hits, engine.prefix_cache_misses,
     )
+    if hasattr(engine, "prefix_cache_hits"):
+        log.info("prefix cache: %d block hits / %d misses",
+                 engine.prefix_cache_hits, engine.prefix_cache_misses)
 
     for c in completions:
         m = meta[c.request_id]

@@ -45,7 +45,7 @@ from tts_max_tpu.core import prompting
 from tts_max_tpu.core.constants import CODEC_SAMPLE_RATE, CODEC_TOKEN_RATE
 from tts_max_tpu.core.tokenization import build_byte_tokenizer, speech_vocab
 from tts_max_tpu.data.audio_io import load_wav
-from tts_max_tpu.inference.engine import PagedInferenceEngine
+from tts_max_tpu.inference.engine import InferenceEngine, PagedInferenceEngine
 from tts_max_tpu.models import hf_import
 from tts_max_tpu.ops.sampling import SamplingParams, sampling_from_overrides
 from tts_max_tpu.utils.logging import get_logger, setup_logging
@@ -394,12 +394,22 @@ def build_server(args) -> TtsServer:
     window = sv.generation_window()
     if args.no_constrain or window[0] + window[1] > cfg.vocab_size:
         window = None
-    engine = PagedInferenceEngine(
-        params, cfg, max_batch=args.max_batch, max_len=args.max_len,
-        block_size=args.block_size, quantized_kv=args.quantized_kv,
-        enable_prefix_cache=True, vocab_window=window,
+    kw = dict(
+        max_batch=args.max_batch, max_len=args.max_len,
+        quantized_kv=args.quantized_kv, vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
+        staged_cache=not getattr(args, "no_staged_cache", False),
+        admission_policy=getattr(args, "admission_policy", "fifo"),
     )
+    if getattr(args, "engine", "contiguous") == "paged":
+        engine = PagedInferenceEngine(
+            params, cfg, block_size=args.block_size,
+            enable_prefix_cache=True, **kw
+        )
+    else:
+        # measured-fastest serving mode (BENCHMARKS.md serving table);
+        # shared voice prompts re-prefill (prefix cache is paged-only)
+        engine = InferenceEngine(params, cfg, **kw)
     if not getattr(args, "no_warmup", False):
         log.info("Warmup: compiling prefill/decode programs ...")
         t_w = time.time()
@@ -429,6 +439,19 @@ def main(argv=None):
     parser.add_argument("--no_constrain", action="store_true")
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip the startup compile warmup")
+    parser.add_argument(
+        "--engine", choices=["contiguous", "paged"], default="contiguous",
+        help="KV layout: 'contiguous' is the measured-fastest mode "
+        "(BENCHMARKS.md serving table); 'paged' (vLLM block pool) admits "
+        "more mixed-length traffic per GB and enables the prefix cache",
+    )
+    parser.add_argument(
+        "--admission_policy", choices=["fifo", "shortest"], default="fifo",
+        help="'shortest' = shortest-job-first admission (better TTFT "
+        "under saturation; long requests can starve under overload)",
+    )
+    parser.add_argument("--no_staged_cache", action="store_true",
+                        help="disable staged (occupancy-sized) dispatches")
     parser.add_argument(
         "--steps_per_dispatch", type=int, default=16,
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "
