@@ -482,6 +482,8 @@ def decode_step(
     tokens: jnp.ndarray,
     lengths: jnp.ndarray,
     logits_head=None,
+    *,
+    unroll: bool = False,
 ):
     """One AR decode step.
 
@@ -489,6 +491,13 @@ def decode_step(
     token (also its position index). Returns (logits [B, V], new cache);
     caller increments lengths. ``logits_head`` (slice_logits_head) restricts
     logits to a vocab window [B, size].
+
+    ``unroll=True`` replaces the lax.scan over layers with a Python loop:
+    each layer's cache slice/scatter then uses a STATIC layer index, which
+    XLA can fuse/alias instead of potentially materializing a per-layer
+    copy of the [B, T, Hkv, D] cache slice (the scan's dynamic layer index
+    defeats that). Costs n_layers× the program size; measure per shape
+    (tools/probe_decode_variants.py) before preferring it.
     """
     b = tokens.shape[0]
     cos, sin = rope_table(
@@ -508,14 +517,13 @@ def decode_step(
         )
         return out.astype(x.dtype)
 
-    def layer_fn(carry, scanned):
-        # The FULL stacked cache rides the scan carry (not xs/ys): the new
+    def layer_body(h, k_all, v_all, lp, layer):
+        # The FULL stacked cache rides the carry (not scan xs/ys): the new
         # token's row is scattered in place and only the current layer is
         # sliced for attention. With cache as xs/ys every step would COPY
         # the whole cache (read xs + write ys) on top of the attention read
-        # — 3x the HBM traffic of this formulation.
-        h, k_all, v_all = carry
-        lp, layer = scanned
+        # — 3x the HBM traffic of this formulation. ``layer`` may be a
+        # traced scalar (scan) or a Python int (unrolled).
         x = rms_norm(h, lp["attn_norm"]["scale"], cfg.norm_eps)
         q = (matmul(x, lp["attn"]["wq"]["kernel"])).reshape(
             b, cfg.n_heads, cfg.head_dim
@@ -559,13 +567,23 @@ def decode_step(
         ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
-        return (h, k_all, v_all), None
+        return h, k_all, v_all
 
-    (h, ks, vs), _ = jax.lax.scan(
-        layer_fn,
-        (h, cache["k"], cache["v"]),
-        (params["layers"], jnp.arange(cfg.n_layers)),
-    )
+    if unroll:
+        ks, vs = cache["k"], cache["v"]
+        for i in range(cfg.n_layers):
+            lp = jax.tree.map(lambda x: x[i], params["layers"])
+            h, ks, vs = layer_body(h, ks, vs, lp, i)
+    else:
+        def layer_fn(carry, scanned):
+            lp, layer = scanned
+            return layer_body(*carry, lp, layer), None
+
+        (h, ks, vs), _ = jax.lax.scan(
+            layer_fn,
+            (h, cache["k"], cache["v"]),
+            (params["layers"], jnp.arange(cfg.n_layers)),
+        )
     logits = _logits(h[:, None, :], params, cfg, logits_head)[:, 0]
     return logits, {"k": ks, "v": vs}
 
