@@ -128,9 +128,11 @@ def run_training(config: ExperimentConfig, args) -> None:
 
     prompts_per_step = max(1, config.training.batch_size)
     rng = np.random.default_rng(config.training.seed)
+    from tts_max_tpu.utils.metrics_logging import MetricsLogger
     from tts_max_tpu.utils.statistics import Statistics
 
     stats_acc = Statistics()
+    metrics = MetricsLogger(config.output_dir)
     for step in range(args.total_steps):
         idxs = rng.integers(0, len(dataset), prompts_per_step)
         prompts = [dataset[int(i)] for i in idxs]
@@ -138,6 +140,10 @@ def run_training(config: ExperimentConfig, args) -> None:
         stats_acc.step = trainer.step
         stats_acc.record_loss("grpo", stats["loss"])
         stats_acc.record_counter("reward_mean", stats["reward_mean"])
+        metrics.log(trainer.step, {
+            k: v for k, v in stats.items()
+            if isinstance(v, (int, float))
+        })
         if trainer.step % config.training.logging_steps == 0:
             log.info("GRPO step %d: %s", trainer.step, stats)
         if (
@@ -148,6 +154,7 @@ def run_training(config: ExperimentConfig, args) -> None:
                      config)
     mgr.wait()
     mgr.close()
+    metrics.close()
     log.info("RLHF done at step %d", trainer.step)
 
 
