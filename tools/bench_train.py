@@ -36,6 +36,12 @@ def main():
     # Blockwise cross-entropy (train_step.chunked_causal_lm_loss): 0 = naive
     # full-vocab [B,S,193856] fp32 logprobs.
     ap.add_argument("--loss-chunk", type=int, default=0)
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler/xprof trace of the timed "
+                    "steps into this directory (VERDICT r3 item 9)")
+    ap.add_argument("--ablate", action="store_true",
+                    help="also time forward-only and grad-only programs to "
+                    "attribute the step (fwd vs bwd vs optimizer)")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.seq)
@@ -68,6 +74,14 @@ def main():
     rtt = fetch_rtt()
 
     toks = args.batch * args.seq
+    if args.trace:
+        from tts_max_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            for _ in range(2):
+                params, opt_state, m = step(params, opt_state, batch)
+            _ = float(m.loss)
+        print(f"trace written to {args.trace}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         params, opt_state, m = step(params, opt_state, batch)
@@ -80,6 +94,49 @@ def main():
         f"tokens/s/chip ({dt / args.steps * 1e3:.0f} ms/step)",
         flush=True,
     )
+
+    if args.ablate:
+        # attribute the step: forward-only loss, loss+grad (no optimizer),
+        # and the full step above — substantiates (or breaks) the claim
+        # that the single-chip step is layer-stack-bound (VERDICT r3 item 9)
+        mb = {k: v[0] for k, v in batch.items()}
+
+        fwd = jax.jit(
+            lambda p, b: ts.loss_fn(
+                p, cfg, b, loss_chunk_size=args.loss_chunk
+            )[0]
+        )
+        grad = jax.jit(
+            lambda p, b: jax.grad(
+                lambda pp: ts.loss_fn(
+                    pp, cfg, b, loss_chunk_size=args.loss_chunk
+                )[0]
+            )(p)
+        )
+
+        def timeit(fn, *fa, red=lambda o: float(o)):
+            red(fn(*fa))  # compile
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(*fa)
+            red(out)
+            return (time.perf_counter() - t0 - rtt) / args.steps
+
+        t_f = timeit(fwd, params, mb)
+        t_g = timeit(
+            grad, params, mb,
+            red=lambda g: float(
+                jax.tree_util.tree_leaves(g)[0].ravel()[0]
+            ),
+        )
+        t_s = dt / args.steps
+        print(
+            f"ablation: forward {t_f * 1e3:.0f} ms, +backward "
+            f"{t_g * 1e3:.0f} ms (bwd {1e3 * (t_g - t_f):.0f}), full step "
+            f"{t_s * 1e3:.0f} ms (optimizer+guard "
+            f"{1e3 * (t_s - t_g):.0f})",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
