@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--max-len", type=int, default=768)
     ap.add_argument("--contiguous", action="store_true",
                     help="probe the contiguous-KV engine instead of paged")
+    ap.add_argument("--no-staged", action="store_true",
+                    help="disable staged (occupancy-sized) dispatches")
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
@@ -73,6 +76,7 @@ def main():
     eng = cls(
         params, cfg, max_batch=args.batch, max_len=args.max_len, sp=sp,
         vocab_window=window, steps_per_dispatch=args.k,
+        staged_cache=not args.no_staged, quantized_kv=args.kv == "int8",
     )
     rng = np.random.default_rng(0)
     lo, hi = (window[0], window[0] + window[1] - 8) if window else (3, cfg.vocab_size)
@@ -93,8 +97,9 @@ def main():
               file=sys.stderr, flush=True)
         args.iters = max_iters
 
-    enq, fetch, host = [], [], []
+    enq, fetch, host, stages = [], [], [], []
     for it in range(args.iters):
+        stages.append(eng._dispatch_stage())
         t0 = time.perf_counter()
         dispatched = eng._dispatch_decode()
         t1 = time.perf_counter()
@@ -105,6 +110,17 @@ def main():
         enq.append(t1 - t0)
         fetch.append(t2 - t1)
         host.append(t3 - t2)
+    if any(s is not None for s in stages):
+        # staged: per-stage median fetch (the dispatch's device compute)
+        by_stage: dict = {}
+        for s, f in zip(stages, fetch):
+            by_stage.setdefault(s, []).append(f)
+        for s in sorted(by_stage, key=lambda x: (x is None, x)):
+            v = by_stage[s]
+            print(f"  stage {s or args.max_len}: fetch med "
+                  f"{1e3 * float(np.median(v)):.1f}ms over {len(v)} "
+                  f"dispatches = {1e3 * float(np.median(v)) / args.k:.2f} "
+                  f"ms/step", flush=True)
     # steady-state medians; first iters may overlap residual work
     med = lambda xs: 1e3 * float(np.median(xs))
     toks = args.k * args.batch
