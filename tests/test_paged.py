@@ -435,3 +435,92 @@ def test_decode_step_paged_dense_variant_matches(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-2, atol=2e-2
         )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_dense_stacked_kernel_matches_xla(quantized):
+    """dense2 (stacked-pool, scalar-prefetched layer index) == gather
+    oracle for every layer. The stacked form exists so the engine's layer
+    scan never materializes a per-layer pool slice as a kernel operand."""
+    rng = np.random.default_rng(12)
+    L, N, bs, hkv, d, b, p, hq = 3, 9, 32, 2, 64, 4, 2, 8
+    kp = jnp.asarray(rng.normal(size=(L, N, bs, hkv, d)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(L, N, bs, hkv, d)).astype(np.float32))
+    if quantized:
+        ks = jnp.asarray(
+            rng.uniform(0.5, 1.5, size=(L, N, bs, hkv)).astype(np.float32)
+        )
+        k_pool = {"q": kp.astype(jnp.int8), "scale": ks}
+        v_pool = {"q": vp.astype(jnp.int8), "scale": ks * 0.7}
+    else:
+        k_pool, v_pool = kp, vp
+    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32))
+    table = jnp.asarray(rng.integers(0, N, size=(b, p)).astype(np.int32))
+    lengths = jnp.asarray([5, 40, 64, 17], jnp.int32)
+    for layer in range(L):
+        sl_k = jax.tree.map(lambda x: x[layer], k_pool)
+        sl_v = jax.tree.map(lambda x: x[layer], v_pool)
+        ref = pattn.paged_decode_attention_xla(q, sl_k, sl_v, table, lengths)
+        out = pattn.paged_decode_attention_dense(
+            q, k_pool, v_pool, table, lengths, layer=jnp.int32(layer),
+            interpret=True,
+        )
+        assert not np.isnan(np.asarray(out)).any()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_step_paged_dense2_variant_matches(monkeypatch):
+    """decode_step_paged with TTS_MAX_PAGED_ATTN=dense2 (the stacked-pool
+    TPU serving default) matches the XLA variant through the layer scan."""
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    b, bs, p = 2, 16, 4
+    rng = np.random.default_rng(9)
+    pool = llama.init_paged_kv_cache(cfg, b * p + 3, bs)
+    table = jnp.asarray(
+        rng.permutation(b * p + 3)[: b * p].reshape(b, p), dtype=jnp.int32
+    )
+    lengths = jnp.asarray([5, 9], jnp.int32)
+    toks = jnp.asarray([11, 23], jnp.int32)
+    logits_x, pool_x = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    monkeypatch.setenv("TTS_MAX_PAGED_ATTN", "dense2")
+    logits_d, pool_d = llama.decode_step_paged(
+        params, cfg, pool, toks, lengths, table
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_d), np.asarray(logits_x), atol=2e-2
+    )
+    for a, b_ in zip(jax.tree.leaves(pool_x), jax.tree.leaves(pool_d)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-2, atol=2e-2
+        )
+
+
+def test_paged_engine_dense2_matches_xla_engine(setup, monkeypatch):
+    """End-to-end paged engine under TTS_MAX_PAGED_ATTN=dense2 (staged
+    table slicing included) reproduces the XLA-variant engine greedily."""
+    from tts_max_tpu.inference.engine import PagedInferenceEngine
+
+    cfg, params = setup
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, 60, n).astype(np.int32) for n in (4, 21, 9)]
+
+    def run():
+        eng = PagedInferenceEngine(
+            params, cfg, max_batch=2, max_len=128, block_size=32, sp=sp,
+            steps_per_dispatch=4, min_stage=32,
+        )
+        return [c.tokens for c in sorted(
+            eng.generate_all(prompts, max_new_tokens=12, eos_id=-1),
+            key=lambda c: c.request_id,
+        )]
+
+    ref = run()
+    monkeypatch.setenv("TTS_MAX_PAGED_ATTN", "dense2")
+    got = run()
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(a, b_)

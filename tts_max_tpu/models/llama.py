@@ -713,14 +713,17 @@ def decode_step_paged(
     if not variant:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        # dense block-diagonal kernel: per-head flash matmuls ([n_rep, d] x
-        # [d, bs]) are <1% MXU utilization and cost 20-32 ms/step at 1B
-        # batch-64 serving shapes in both the grid and manual-DMA variants
-        # (measured, tools/probe_engine_overhead.py); the dense variant
-        # computes MXU-shaped [hq, flat] products over multi-page blocks
-        variant = "dense" if use_pallas else "xla"
+        # dense2 = the stacked-pool dense block-diagonal kernel: one
+        # MXU-shaped [hq, flat] matmul pair per multi-page group AND no
+        # per-layer pool slice (a Pallas operand must be a materialized
+        # buffer, so the layer-sliced forms make XLA copy [N, bs, Hkv, D]
+        # out of the scan carry EVERY layer; the stacked kernel instead
+        # scalar-prefetches the layer index and DMAs pages straight from
+        # the full stacked pool)
+        variant = "dense2" if use_pallas else "xla"
     attn_fn = {
         "dense": pattn.paged_decode_attention_dense,
+        "dense2": None,  # stacked: handled inline in layer_fn
         "dma": pattn.paged_decode_attention_dma,
         "grid": pattn.paged_decode_attention,
         "xla": pattn.paged_decode_attention_xla,
@@ -786,9 +789,14 @@ def decode_step_paged(
 
         k_all = write(k_all, k)
         v_all = write(v_all, v)
-        o = attn_fn(
-            q, layer_slice(k_all), layer_slice(v_all), table, lengths + 1
-        ).astype(h.dtype)
+        if variant == "dense2":
+            o = pattn.paged_decode_attention_dense(
+                q, k_all, v_all, table, lengths + 1, layer=layer
+            ).astype(h.dtype)
+        else:
+            o = attn_fn(
+                q, layer_slice(k_all), layer_slice(v_all), table, lengths + 1
+            ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
         return (h, k_all, v_all), None

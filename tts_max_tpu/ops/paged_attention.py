@@ -259,6 +259,7 @@ def paged_decode_attention_dense(
     table: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
+    layer=None,
     pages_per_block: int = 4,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -280,12 +281,20 @@ def paged_decode_attention_dense(
     ``pages_per_block`` are double-buffered via manual DMAs (grid (B,),
     static trip counts, predicated tails). int8 KV dequantizes in-VMEM via
     a [U*bs, hkv] @ E (E[h, h*d+c] = 1) scale-expansion matmul.
+
+    ``layer`` (traced int32 scalar): the pools are the FULL STACKED caches
+    [L, N, bs, Hkv, D] and the kernel DMAs pages of layer ``layer`` via a
+    scalar-prefetched index. A Pallas operand must be a materialized buffer,
+    so a per-layer ``pool[layer]`` slice fed to the layer-sliced form forces
+    XLA to copy [N, bs, Hkv, D] out of the scan carry EVERY layer — the
+    stacked form reads the pages straight out of the stacked pool instead.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     kq_pool, k_scale = _split(k_pool)
     vq_pool, v_scale = _split(v_pool)
-    n_blocks, bs, hkv, d = kq_pool.shape
+    stacked = layer is not None
+    n_blocks, bs, hkv, d = kq_pool.shape[1:] if stacked else kq_pool.shape
     b, p = table.shape
     hq = q.shape[1]
     n_rep = hq // hkv
@@ -295,13 +304,15 @@ def paged_decode_attention_dense(
     flat = hkv * d
 
     # pools reinterpreted with one 128-aligned minor dim (see _dma docstring)
-    kq_pool = kq_pool.reshape(n_blocks, bs, flat)
-    vq_pool = vq_pool.reshape(n_blocks, bs, flat)
+    lead = kq_pool.shape[:-4]
+    kq_pool = kq_pool.reshape(*lead, n_blocks, bs, flat)
+    vq_pool = vq_pool.reshape(*lead, n_blocks, bs, flat)
     sc_w = 0
     if quantized:
         sc_w = hkv if hkv % 128 == 0 else hkv + (-hkv) % 128
-        k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
-        v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, sc_w - hkv)))
+        pad = [(0, 0)] * (k_scale.ndim - 1) + [(0, sc_w - hkv)]
+        k_scale = jnp.pad(k_scale, pad)
+        v_scale = jnp.pad(v_scale, pad)
 
     # block-diagonal queries: Qbd[b, (h, r), (h2, c)] = q[b, h, r, c] if
     # h == h2 else 0 (includes the 1/sqrt(d) scale)
@@ -310,7 +321,11 @@ def paged_decode_attention_dense(
     qbd = (qg[:, :, :, None, :] * eye[:, None, :, None]).reshape(b, hq, flat)
     qbd = qbd.astype(q.dtype)
 
-    def kernel(len_ref, tbl_ref, *refs):
+    def kernel(len_ref, tbl_ref, *rest):
+        if stacked:
+            lyr_ref, *refs = rest
+        else:
+            lyr_ref, refs = None, list(rest)
         if quantized:
             (q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
              kbuf, vbuf, ksbuf, vsbuf, sem) = refs
@@ -322,6 +337,10 @@ def paged_decode_attention_dense(
         nb = jnp.maximum((length + bs - 1) // bs, 1)  # live pages
         ng = (nb + u - 1) // u  # live groups
 
+        def src(hbm, blk):
+            # stacked pools: pages of the scalar-prefetched layer
+            return hbm.at[lyr_ref[0], blk] if stacked else hbm.at[blk]
+
         def start(g, slot):
             for uu in range(u):  # per-page copies into the group buffer
                 pg = g * u + uu
@@ -330,23 +349,23 @@ def paged_decode_attention_dense(
                 def _cp(pg=pg, uu=uu, slot=slot):
                     blk = tbl_ref[i, pg]
                     pltpu.make_async_copy(
-                        k_hbm.at[blk],
+                        src(k_hbm, blk),
                         kbuf.at[slot, pl.ds(uu * bs, bs)],
                         sem.at[slot, 0],
                     ).start()
                     pltpu.make_async_copy(
-                        v_hbm.at[blk],
+                        src(v_hbm, blk),
                         vbuf.at[slot, pl.ds(uu * bs, bs)],
                         sem.at[slot, 1],
                     ).start()
                     if quantized:
                         pltpu.make_async_copy(
-                            ks_hbm.at[blk],
+                            src(ks_hbm, blk),
                             ksbuf.at[slot, pl.ds(uu * bs, bs)],
                             sem.at[slot, 2],
                         ).start()
                         pltpu.make_async_copy(
-                            vs_hbm.at[blk],
+                            src(vs_hbm, blk),
                             vsbuf.at[slot, pl.ds(uu * bs, bs)],
                             sem.at[slot, 3],
                         ).start()
@@ -360,23 +379,23 @@ def paged_decode_attention_dense(
                 def _wt(pg=pg, uu=uu, slot=slot):
                     blk = tbl_ref[i, pg]
                     pltpu.make_async_copy(
-                        k_hbm.at[blk],
+                        src(k_hbm, blk),
                         kbuf.at[slot, pl.ds(uu * bs, bs)],
                         sem.at[slot, 0],
                     ).wait()
                     pltpu.make_async_copy(
-                        v_hbm.at[blk],
+                        src(v_hbm, blk),
                         vbuf.at[slot, pl.ds(uu * bs, bs)],
                         sem.at[slot, 1],
                     ).wait()
                     if quantized:
                         pltpu.make_async_copy(
-                            ks_hbm.at[blk],
+                            src(ks_hbm, blk),
                             ksbuf.at[slot, pl.ds(uu * bs, bs)],
                             sem.at[slot, 2],
                         ).wait()
                         pltpu.make_async_copy(
-                            vs_hbm.at[blk],
+                            src(vs_hbm, blk),
                             vsbuf.at[slot, pl.ds(uu * bs, bs)],
                             sem.at[slot, 3],
                         ).wait()
@@ -475,8 +494,11 @@ def paged_decode_attention_dense(
         n_sems = 4
     scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
 
+    scalar_args = [lengths.astype(jnp.int32), table.astype(jnp.int32)]
+    if stacked:
+        scalar_args.append(jnp.asarray(layer, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalar_args),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0)),
@@ -487,7 +509,7 @@ def paged_decode_attention_dense(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), table.astype(jnp.int32), *inputs)
+    )(*scalar_args, *inputs)
     return out
 
 
