@@ -50,3 +50,77 @@ def test_ragged_ignores_garbage_beyond_length():
     v2 = v.at[:, 10:].set(-1e4)
     out2 = ragged_decode_attention(q, k2, v2, lengths)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+from tts_max_tpu.ops.pallas_decode import flash_decode_attention
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("t", [64, 192, 256])
+def test_flash_decode_matches_reference(quantized, t):
+    """flash_decode_attention == decode_attention oracle (fp32, ragged
+    lengths, incl. the never-DMA'd-chunk NaN guard)."""
+    rng = np.random.default_rng(3)
+    b, hkv, d, hq = 4, 2, 64, 8
+    k = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    if quantized:
+        ks = rng.uniform(0.5, 1.5, size=(b, t, hkv)).astype(np.float32)
+        k_cache = {"q": jnp.asarray(k).astype(jnp.int8),
+                   "scale": jnp.asarray(ks)}
+        v_cache = {"q": jnp.asarray(v).astype(jnp.int8),
+                   "scale": jnp.asarray(ks * 0.7)}
+    else:
+        k_cache, v_cache = jnp.asarray(k), jnp.asarray(v)
+    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32))
+    lengths = jnp.asarray([1, t // 3, t, 7], jnp.int32)
+    ref = decode_attention(q, k_cache, v_cache, lengths)
+    out = flash_decode_attention(q, k_cache, v_cache, lengths,
+                                 chunk=64, interpret=True)
+    assert not np.isnan(np.asarray(out)).any()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_decode_stacked_layer():
+    """Stacked [L, B, T, Hkv, D] form with a traced layer index matches the
+    per-layer oracle (the engine layer-scan case)."""
+    rng = np.random.default_rng(4)
+    L, b, t, hkv, d, hq = 3, 2, 128, 2, 64, 8
+    k = jnp.asarray(rng.normal(size=(L, b, t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, b, t, hkv, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32))
+    lengths = jnp.asarray([5, 100], jnp.int32)
+    for layer in range(L):
+        ref = decode_attention(q, k[layer], v[layer], lengths)
+        out = flash_decode_attention(
+            q, k, v, lengths, layer=jnp.int32(layer), chunk=64,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+
+def test_decode_step_flash_matches_xla():
+    """decode_step(flash=True) through the full layer scan matches the XLA
+    attention path (bf16 tolerance)."""
+    from tts_max_tpu.models import llama
+
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    for quant in (False, True):
+        cache = llama.init_kv_cache(cfg, 2, 64, quantized=quant)
+        toks = jnp.asarray([11, 23], jnp.int32)
+        lengths = jnp.asarray([5, 9], jnp.int32)
+        l_x, c_x = llama.decode_step(params, cfg, cache, toks, lengths)
+        l_f, c_f = llama.decode_step(params, cfg, cache, toks, lengths,
+                                     flash=True)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_x),
+                                   atol=2e-2)
+        for a, b_ in zip(jax.tree.leaves(c_x), jax.tree.leaves(c_f)):
+            # int8 leaves: bf16 attention noise in h can flip a later
+            # layer's quantized write by one step
+            atol = 1.01 if a.dtype == jnp.int8 else 2e-2
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=2e-2, atol=atol,
+            )

@@ -484,6 +484,7 @@ def decode_step(
     logits_head=None,
     *,
     unroll: bool = False,
+    flash: bool | None = None,
 ):
     """One AR decode step.
 
@@ -496,9 +497,21 @@ def decode_step(
     each layer's cache slice/scatter then uses a STATIC layer index, which
     XLA can fuse/alias instead of potentially materializing a per-layer
     copy of the [B, T, Hkv, D] cache slice (the scan's dynamic layer index
-    defeats that). Costs n_layers× the program size; measure per shape
-    (tools/probe_decode_variants.py) before preferring it.
+    defeats that). MEASURED round 4: identical to the scan at 1B serving
+    shapes — XLA fuses the dynamic slice fine; kept for ablations.
+
+    ``flash``: use the Pallas flash decode-attention kernel
+    (ops/pallas_decode.flash_decode_attention — stacked-cache form, online
+    softmax in VMEM) instead of the XLA attention, whose HBM-materialized
+    fp32 scores make decode cost scale ~5x the raw KV bytes with cache
+    length (probe_decode_variants, round 4). None = the
+    TTS_MAX_FLASH_DECODE env var ("1"/"0"), default off pending on-chip
+    verification.
     """
+    import os
+
+    if flash is None:
+        flash = os.environ.get("TTS_MAX_FLASH_DECODE", "0") == "1"
     b = tokens.shape[0]
     cos, sin = rope_table(
         cfg.head_dim, cache_max_len(cache), cfg.rope_theta, cfg.use_llama3_rope_scaling
@@ -562,9 +575,19 @@ def decode_step(
 
         k_all = write(k_all, k)
         v_all = write(v_all, v)
-        o = decode_attention(
-            q, layer_slice(k_all), layer_slice(v_all), lengths + 1
-        ).astype(h.dtype)
+        if flash:
+            from tts_max_tpu.ops.pallas_decode import flash_decode_attention
+
+            # stacked form: the kernel scalar-prefetches the layer index and
+            # reads pages straight from the carry — no per-layer slice
+            # materialized as a custom-call operand
+            o = flash_decode_attention(
+                q, k_all, v_all, lengths + 1, layer=layer
+            ).astype(h.dtype)
+        else:
+            o = decode_attention(
+                q, layer_slice(k_all), layer_slice(v_all), lengths + 1
+            ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
         return h, k_all, v_all
