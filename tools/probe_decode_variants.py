@@ -59,10 +59,12 @@ def main():
     ap.add_argument("--lens", default="192,512,768")
     ap.add_argument("--widths", default="4,8,12")
     ap.add_argument("--block-size", type=int, default=64)
-    ap.add_argument("--variants", default="dense,xla")
+    ap.add_argument("--variants", default="dense2,dense,xla")
     ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
     ap.add_argument("--no-window", action="store_true")
     ap.add_argument("--skip-unroll", action="store_true")
+    ap.add_argument("--skip-flash", action="store_true")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
@@ -87,7 +89,7 @@ def main():
         print(f"{name:>16}: {dt / k * 1e3:6.2f} ms/step  "
               f"({b * k / dt:6.0f} tok/s sync ceiling)", flush=True)
 
-    def ksteps_contig(cache_len, unroll):
+    def ksteps_contig(cache_len, unroll, flash=False):
         # fixed greedy-ish loop: argmax over the (windowed) head, K steps
         def fn(params, cache, lengths):
             params = quantization.unpack_packed_params(params)
@@ -98,7 +100,7 @@ def main():
                 cache, lengths, toks = carry
                 logits, cache = llama.decode_step(
                     params, cfg, cache, toks, lengths, logits_head=head,
-                    unroll=unroll,
+                    unroll=unroll, flash=flash,
                 )
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32) + (
                     window[0] if window else 0
@@ -114,7 +116,7 @@ def main():
         return jax.jit(fn)
 
     for L in [int(x) for x in args.lens.split(",") if x]:
-        cache = llama.init_kv_cache(cfg, b, L)
+        cache = llama.init_kv_cache(cfg, b, L, quantized=args.kv == "int8")
         lengths = jnp.full((b,), 96, jnp.int32)
         dt = time_fn(ksteps_contig(L, False), params, cache, lengths, rtt=rtt)
         report(f"scan@{L}", dt)
@@ -123,11 +125,33 @@ def main():
                 ksteps_contig(L, True), params, cache, lengths, rtt=rtt
             )
             report(f"unroll@{L}", dt)
+        if not args.skip_flash:
+            # NOTE: lengths start at 96 — flash skips never-live chunks, so
+            # its early steps read ~96-128 rows while scan reads all L (the
+            # ragged win is the point; full-cache cost = flash@L with
+            # lengths near L)
+            try:
+                dt = time_fn(
+                    ksteps_contig(L, False, flash=True), params, cache,
+                    lengths, rtt=rtt,
+                )
+                report(f"flash@{L}", dt)
+                full = jnp.full((b,), L - k - 1, jnp.int32)
+                dt = time_fn(
+                    ksteps_contig(L, False, flash=True), params, cache,
+                    full, rtt=rtt,
+                )
+                report(f"flash-full@{L}", dt)
+            except Exception as e:  # noqa: BLE001
+                print(f"flash@{L}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
     bs = args.block_size
     for W in [int(x) for x in args.widths.split(",") if x]:
         num_blocks = b * W + 1
-        pool = llama.init_paged_kv_cache(cfg, num_blocks, bs)
+        pool = llama.init_paged_kv_cache(
+            cfg, num_blocks, bs, quantized=args.kv == "int8"
+        )
         table = jnp.arange(1, num_blocks, dtype=jnp.int32).reshape(b, W)
         lengths = jnp.full((b,), min(96, W * bs - k - 1), jnp.int32)
         for variant in [v for v in args.variants.split(",") if v]:

@@ -578,12 +578,14 @@ def decode_step(
         if flash:
             from tts_max_tpu.ops.pallas_decode import flash_decode_attention
 
-            # stacked form: the kernel scalar-prefetches the layer index and
-            # reads pages straight from the carry — no per-layer slice
-            # materialized as a custom-call operand
-            o = flash_decode_attention(
-                q, k_all, v_all, lengths + 1, layer=layer
-            ).astype(h.dtype)
+            # stacked + cache-aliased form: the kernel scalar-prefetches the
+            # layer index and the carry threads through the custom call as
+            # in/out-aliased operands — no per-layer (or full-cache) copy
+            o, k_all, v_all = flash_decode_attention(
+                q, k_all, v_all, lengths + 1, layer=layer,
+                alias_caches=True,
+            )
+            o = o.astype(h.dtype)
         else:
             o = decode_attention(
                 q, layer_slice(k_all), layer_slice(v_all), lengths + 1
@@ -813,9 +815,11 @@ def decode_step_paged(
         k_all = write(k_all, k)
         v_all = write(v_all, v)
         if variant == "dense2":
-            o = pattn.paged_decode_attention_dense(
-                q, k_all, v_all, table, lengths + 1, layer=layer
-            ).astype(h.dtype)
+            o, k_all, v_all = pattn.paged_decode_attention_dense(
+                q, k_all, v_all, table, lengths + 1, layer=layer,
+                alias_caches=True,
+            )
+            o = o.astype(h.dtype)
         else:
             o = attn_fn(
                 q, layer_slice(k_all), layer_slice(v_all), table, lengths + 1

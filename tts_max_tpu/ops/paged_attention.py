@@ -261,8 +261,9 @@ def paged_decode_attention_dense(
     *,
     layer=None,
     pages_per_block: int = 4,
+    alias_caches: bool = False,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+):
     """Dense block-diagonal paged decode attention (the fast TPU variant).
 
     Measurement drove this design: the per-head flash kernels (grid or
@@ -288,6 +289,14 @@ def paged_decode_attention_dense(
     so a per-layer ``pool[layer]`` slice fed to the layer-sliced form forces
     XLA to copy [N, bs, Hkv, D] out of the scan carry EVERY layer — the
     stacked form reads the pages straight out of the stacked pool instead.
+    STACKED REQUIRES ``alias_caches=True`` in a scan: without the in/out
+    alias XLA copies the whole stacked pool per layer instead (measured
+    240 ms/step at 1B serving shapes, round 4 — worse than the slice).
+
+    ``alias_caches=True`` additionally returns (k_pool, v_pool) as
+    input/output-aliased pallas outputs the kernel never writes, so a
+    surrounding scan's carry threads through the custom call in place:
+    returns (out, k_pool, v_pool).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -321,16 +330,24 @@ def paged_decode_attention_dense(
     qbd = (qg[:, :, :, None, :] * eye[:, None, :, None]).reshape(b, hq, flat)
     qbd = qbd.astype(q.dtype)
 
+    n_cache_out = (4 if quantized else 2) if alias_caches else 0
+
     def kernel(len_ref, tbl_ref, *rest):
         if stacked:
             lyr_ref, *refs = rest
         else:
             lyr_ref, refs = None, list(rest)
+        refs = list(refs)
         if quantized:
-            (q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
-             kbuf, vbuf, ksbuf, vsbuf, sem) = refs
+            q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm = refs[:5]
+            o_ref = refs[5]
+            scr = refs[6 + n_cache_out:]  # aliased cache outs never touched
+            kbuf, vbuf, ksbuf, vsbuf, sem = scr
         else:
-            q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sem = refs
+            q_ref, k_hbm, v_hbm = refs[:3]
+            o_ref = refs[3]
+            scr = refs[4 + n_cache_out:]
+            kbuf, vbuf, sem = scr
             ks_hbm = vs_hbm = ksbuf = vsbuf = None
         i = pl.program_id(0)
         length = len_ref[i]
@@ -497,20 +514,45 @@ def paged_decode_attention_dense(
     scalar_args = [lengths.astype(jnp.int32), table.astype(jnp.int32)]
     if stacked:
         scalar_args.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    out_shape = [jax.ShapeDtypeStruct((b, hq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0))]
+    aliases = {}
+    if alias_caches:
+        # alias keys index the FULL input list incl. scalar-prefetch args
+        base = len(scalar_args) + 1  # + qbd
+        cache_ins = [kq_pool] + ([k_scale] if quantized else []) + [
+            vq_pool] + ([v_scale] if quantized else [])
+        for j, arr in enumerate(cache_ins):
+            aliases[base + j] = 1 + j
+            out_shape.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(hbm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0)),
+        out_specs=out_specs if alias_caches else out_specs[0],
         scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=out_shape if alias_caches else out_shape[0],
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*scalar_args, *inputs)
-    return out
+    if not alias_caches:
+        return results
+    out, *couts = results
+    kd = (n_blocks, bs, hkv, d)
+    if quantized:
+        k_new = {"q": couts[0].reshape(*lead, *kd),
+                 "scale": couts[1][..., :hkv]}
+        v_new = {"q": couts[2].reshape(*lead, *kd),
+                 "scale": couts[3][..., :hkv]}
+    else:
+        k_new = couts[0].reshape(*lead, *kd)
+        v_new = couts[1].reshape(*lead, *kd)
+    return out, k_new, v_new
 
 
 def paged_decode_attention(

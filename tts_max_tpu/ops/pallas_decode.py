@@ -118,11 +118,20 @@ def flash_decode_attention(
     *,
     layer=None,
     chunk: int = 256,
+    alias_caches: bool = False,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+):
     """Contiguous-cache flash decode attention — grid (B,), static chunked
     double-buffered DMAs, block-diagonal dense matmuls (one [Hq, flat] x
     [flat, chunk] pair per chunk), online softmax entirely in VMEM.
+
+    ``alias_caches=True``: the caches are ALSO returned, as input/output-
+    aliased pallas outputs (kernel never writes them) — returns
+    (out, k_cache, v_cache). Inside a decode layer scan this is REQUIRED
+    for performance: a custom-call operand must be a materialized buffer,
+    and without the alias XLA copies the whole (stacked) cache out of the
+    scan carry for every layer (measured 240 ms/step at 1B serving shapes
+    round 4); with it the carry threads through the kernel in place.
 
     Why it exists (measured, tools/probe_decode_variants.py round 4): the
     XLA decode path materializes the fp32 scores tensor in HBM between the
@@ -176,16 +185,24 @@ def flash_decode_attention(
     qbd = (qg[:, :, :, None, :] * eye[:, None, :, None]).reshape(b, hq, flat)
     qbd = qbd.astype(q.dtype)
 
+    n_cache_out = (4 if k_quant else 2) if alias_caches else 0
+
     def kernel(len_ref, *rest):
         if stacked:
             lyr_ref, *refs = rest
         else:
             lyr_ref, refs = None, list(rest)
+        refs = list(refs)
         if k_quant:
-            (q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
-             kbuf, vbuf, ksbuf, vsbuf, sem) = refs
+            q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm = refs[:5]
+            o_ref = refs[5]
+            scr = refs[6 + n_cache_out:]  # aliased cache outs never touched
+            kbuf, vbuf, ksbuf, vsbuf, sem = scr
         else:
-            q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sem = refs
+            q_ref, k_hbm, v_hbm = refs[:3]
+            o_ref = refs[3]
+            scr = refs[4 + n_cache_out:]
+            kbuf, vbuf, sem = scr
             ks_hbm = vs_hbm = ksbuf = vsbuf = None
         i = pl.program_id(0)
         length = len_ref[i]
@@ -321,17 +338,45 @@ def flash_decode_attention(
     scalar_args = [lengths.astype(jnp.int32)]
     if stacked:
         scalar_args.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    out_shape = [jax.ShapeDtypeStruct((b, hq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0))]
+    aliases = {}
+    if alias_caches:
+        # thread the caches through as untouched in/out-aliased operands so
+        # a surrounding scan's carry is never copied for the custom call;
+        # alias keys index the FULL input list incl. scalar-prefetch args
+        base = len(scalar_args) + 1  # + qbd
+        cache_ins = [kq] + ([k_scale] if k_quant else []) + [vq] + (
+            [v_scale] if k_quant else []
+        )
+        for j, arr in enumerate(cache_ins):
+            aliases[base + j] = 1 + j
+            out_shape.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(hbm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hq, d), lambda i, *s: (i, 0, 0)),
+        out_specs=out_specs if alias_caches else out_specs[0],
         scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=out_shape if alias_caches else out_shape[0],
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*scalar_args, *inputs)
-    return out
+    if not alias_caches:
+        return results
+    out, *couts = results
+    kd = (b, t, hkv, d)
+    if k_quant:
+        k_new = {"q": couts[0].reshape(*lead, *kd),
+                 "scale": couts[1][..., :hkv]}
+        v_new = {"q": couts[2].reshape(*lead, *kd),
+                 "scale": couts[3][..., :hkv]}
+    else:
+        k_new = couts[0].reshape(*lead, *kd)
+        v_new = couts[1].reshape(*lead, *kd)
+    return out, k_new, v_new
