@@ -30,6 +30,14 @@ renv 2400 TTS_MAX_FLASH_DECODE=1 python tools/probe_engine_overhead.py \
 renv 3600 TTS_MAX_FLASH_DECODE=1 python tools/bench_engine.py \
     --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 \
     --requests 256 --contiguous
+# flash reads only live chunks per row, so cache-slice staging may be pure
+# copy overhead on top of it — measure the combination both ways
+renv 3600 TTS_MAX_FLASH_DECODE=1 python tools/bench_engine.py \
+    --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 \
+    --requests 256 --contiguous --no-staged
+renv 3600 TTS_MAX_FLASH_DECODE=1 python tools/bench_engine.py \
+    --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 \
+    --requests 256 --contiguous --no-staged --policy shortest
 renv 3600 TTS_MAX_PAGED_ATTN=dense2 python tools/bench_engine.py \
     --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 \
     --requests 256
