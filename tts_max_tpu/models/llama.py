@@ -311,11 +311,17 @@ def init_kv_cache(
     dtype = dtype or cfg.dtype
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
     if quantized:
-        entry = {
-            "q": jnp.zeros(shape, jnp.int8),
-            "scale": jnp.zeros(shape[:-1], jnp.float32),
-        }
-        return {"k": entry, "v": dict(entry)}
+        # k and v MUST be independent arrays: a shallow dict copy would make
+        # them share buffers, and the engine's donated decode dispatch then
+        # dies with "attempt to donate the same buffer twice" on a
+        # freshly-initialized (never-prefilled) cache
+        def entry():
+            return {
+                "q": jnp.zeros(shape, jnp.int8),
+                "scale": jnp.zeros(shape[:-1], jnp.float32),
+            }
+
+        return {"k": entry(), "v": entry()}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -379,11 +385,14 @@ def init_paged_kv_cache(
     dtype = dtype or cfg.dtype
     shape = (cfg.n_layers, num_blocks, block_size, cfg.n_kv_heads, cfg.head_dim)
     if quantized:
-        entry = {
-            "q": jnp.zeros(shape, jnp.int8),
-            "scale": jnp.zeros(shape[:-1], jnp.float32),
-        }
-        return {"k": entry, "v": dict(entry)}
+        # independent k/v arrays — see init_kv_cache (donation aliasing)
+        def entry():
+            return {
+                "q": jnp.zeros(shape, jnp.int8),
+                "scale": jnp.zeros(shape[:-1], jnp.float32),
+            }
+
+        return {"k": entry(), "v": entry()}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
