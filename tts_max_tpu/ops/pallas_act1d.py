@@ -139,7 +139,11 @@ def _act1d_2d(x2, alpha2, beta2, tb: int = 512, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((t, d), jnp.float32),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # pin to HBM: under ANY this platform's Mosaic may place the
+            # whole extended input in VMEM and blow the 16 MB scoped stack
+            # at production widths (d=6144 after the lane fold — the round-4
+            # on-chip failure mode; paged_attention.py hit the same)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, d), lambda i: (0, 0)),
             pl.BlockSpec((1, d), lambda i: (0, 0)),
         ],
