@@ -19,4 +19,7 @@ run 4800 python tools/bench_engine.py --arch llama-1b --quantize int8 \
 run 4800 python tools/bench_engine.py --arch llama-1b --quantize int8 \
     --max-batch 32 --steps-per-dispatch 32 --requests 64 --budget 1536 \
     --max-len 1792 --kv int8 --contiguous --no-staged
+echo "=== $(date +%H:%M:%S) act1d fused retry (HBM pin)" | tee -a "$LOG"
+TTS_MAX_PALLAS_ACT1D=1 timeout 2400 python tools/bench_codec.py encode \
+    --batch 8 --seconds 10 2>&1 | tail -4 | tee -a "$LOG"
 echo "=== MASTER-R4C DONE $(date +%H:%M:%S)" | tee -a "$LOG"
