@@ -99,6 +99,8 @@ def main():
         # attribute the step: forward-only loss, loss+grad (no optimizer),
         # and the full step above — substantiates (or breaks) the claim
         # that the single-chip step is layer-stack-bound (VERDICT r3 item 9)
+        opt_state = None  # free ~5 GB of Adam state: the ablation programs
+        # (grad tree + remat activations) must coexist with params in 16 GB
         mb = {k: v[0] for k, v in batch.items()}
 
         fwd = jax.jit(
