@@ -215,3 +215,23 @@ def test_grpo_trainer_constrained_rollouts():
     toks = comp[m]
     assert ((toks >= lo) & (toks < lo + size)).all()
     assert np.isfinite(batch.advantages).all()
+
+
+def test_sequence_logprobs_chunked_matches_naive():
+    """Blockwise GRPO logprobs == the naive full-vocab form (the chunked
+    head is what lets the 1B GRPO update fit 16 GB on-chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_max_tpu.models import llama
+    from tts_max_tpu.training.rlhf.grpo import sequence_logprobs
+
+    cfg = llama.tiny_config(vocab_size=128, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, 33), 0, 128)
+    ref = sequence_logprobs(params, cfg, toks, chunk_size=0)
+    for c in (8, 16, 64):
+        out = sequence_logprobs(params, cfg, toks, chunk_size=c)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -35,11 +35,48 @@ log = get_logger(__name__)
 # --- logprobs / loss --------------------------------------------------------
 
 
-def sequence_logprobs(params, cfg: llama.LlamaConfig, tokens: jnp.ndarray):
-    """Per-token logprobs of tokens[t] given tokens[<t]: [B, L-1] (fp32)."""
-    logits = llama.forward(params, cfg, tokens)[:, :-1]
-    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.take_along_axis(logprobs, tokens[:, 1:, None], axis=-1)[..., 0]
+def sequence_logprobs(params, cfg: llama.LlamaConfig, tokens: jnp.ndarray,
+                      chunk_size: int = 256):
+    """Per-token logprobs of tokens[t] given tokens[<t]: [B, L-1] (fp32).
+
+    ``chunk_size > 0`` computes the head blockwise (the GRPO analog of
+    train_step.chunked_causal_lm_loss): the naive form materializes
+    [B, L, 193856] fp32 logprobs — ~3.8 GB at 8 rollouts × 600 tokens,
+    which OOM'd the 1B on-chip GRPO smoke (round 4) once grads joined it.
+    Each chunk's logits reduce to ``target - logsumexp`` immediately and
+    the chunk body is checkpointed so backward recomputes them."""
+    if chunk_size <= 0:
+        logits = llama.forward(params, cfg, tokens)[:, :-1]
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(
+            logprobs, tokens[:, 1:, None], axis=-1
+        )[..., 0]
+    hidden = llama.forward_hidden(params, cfg, tokens)
+    h = hidden[:, :-1]
+    t = tokens[:, 1:]
+    b, n_t, d = h.shape
+    c = min(chunk_size, n_t)
+    n_chunks = -(-n_t // c)
+    pad = n_chunks * c - n_t
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+    hs = h.reshape(b, n_chunks, c, d).transpose(1, 0, 2, 3)
+    ts = t.reshape(b, n_chunks, c).transpose(1, 0, 2)
+
+    def chunk_lp(hc, tc):
+        logits = llama._logits(hc, params, cfg)  # fp32 [B, C, V]
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, tc[..., None], axis=-1)[..., 0]
+        return tgt - lse
+
+    chunk_lp = jax.checkpoint(chunk_lp, prevent_cse=False)
+
+    def body(_, xs):
+        return None, chunk_lp(*xs)
+
+    _, lps = jax.lax.scan(body, None, (hs, ts))  # [n, B, C]
+    return lps.transpose(1, 0, 2).reshape(b, n_chunks * c)[:, :n_t]
 
 
 def grpo_loss(
