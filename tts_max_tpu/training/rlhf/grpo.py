@@ -179,7 +179,10 @@ class GRPOTrainer:
             weights = [1.0] * len(self.reward_funcs)
         self.reward_weights = np.asarray(weights, dtype=np.float64)
         self.scale_rewards = scale_rewards
-        self.tx = optax.adamw(learning_rate, b1=0.9, b2=0.95, weight_decay=0.1)
+        # bf16 Adam mu — the repo's single-chip 1B recipe (fp32 m+v alone
+        # is 10 GB at 1B and OOMs a 16 GB chip next to params + grads)
+        self.tx = optax.adamw(learning_rate, b1=0.9, b2=0.95,
+                              weight_decay=0.1, mu_dtype=jnp.bfloat16)
         self.opt_state = self.tx.init(params)
         self.beta = rlhf_cfg.kl_beta
         self.ref_params = (

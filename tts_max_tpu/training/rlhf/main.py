@@ -47,11 +47,21 @@ def run_training(config: ExperimentConfig, args) -> None:
         params, model_cfg = hf_import.load_model_from_hf_dir(args.model_dir)
     else:
         tokenizer = build_byte_tokenizer()
-        model_cfg = llama.config_for_architecture(
-            args.architecture, vocab_size=len(tokenizer)
+        # bf16 params + remat: the single-chip 1B training recipe (the
+        # GRPO update with fp32 params + fp32 Adam OOMs 16 GB)
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            llama.config_for_architecture(
+                args.architecture, vocab_size=len(tokenizer)
+            ),
+            remat=True,
         )
+        import jax.numpy as jnp
+
         params = llama.init_params(
-            jax.random.PRNGKey(config.training.seed), model_cfg
+            jax.random.PRNGKey(config.training.seed), model_cfg,
+            dtype=jnp.bfloat16,
         )
     sv = speech_vocab(tokenizer)
 
