@@ -22,4 +22,5 @@ run 4800 python tools/bench_engine.py --arch llama-1b --quantize int8 \
 echo "=== $(date +%H:%M:%S) act1d fused retry (HBM pin)" | tee -a "$LOG"
 TTS_MAX_PALLAS_ACT1D=1 timeout 2400 python tools/bench_codec.py encode \
     --batch 8 --seconds 10 2>&1 | tail -4 | tee -a "$LOG"
+run 7200 bash tools/run_tpu_rlhf_demo.sh /tmp/rlhf_demo_r4c
 echo "=== MASTER-R4C DONE $(date +%H:%M:%S)" | tee -a "$LOG"
