@@ -124,3 +124,31 @@ def test_decode_step_flash_matches_xla():
                 np.asarray(a, np.float32), np.asarray(b_, np.float32),
                 rtol=2e-2, atol=atol,
             )
+
+
+def test_xla_dense_decode_attention_matches():
+    """decode_attention_dense (pure-XLA block-diagonal MXU form) == the
+    grouped-einsum oracle, fp32 + int8 caches."""
+    from tts_max_tpu.ops.attention import (
+        decode_attention,
+        decode_attention_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    b, t, hkv, d, hq = 4, 96, 2, 64, 8
+    k = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32))
+    lengths = jnp.asarray([1, 40, 96, 17], jnp.int32)
+    ref = decode_attention(q, jnp.asarray(k), jnp.asarray(v), lengths)
+    out = decode_attention_dense(q, jnp.asarray(k), jnp.asarray(v), lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    ks = rng.uniform(0.5, 1.5, size=(b, t, hkv)).astype(np.float32)
+    kc = {"q": jnp.asarray(k).astype(jnp.int8), "scale": jnp.asarray(ks)}
+    vc = {"q": jnp.asarray(v).astype(jnp.int8),
+          "scale": jnp.asarray(ks * 0.7)}
+    ref = decode_attention(q, kc, vc, lengths)
+    out = decode_attention_dense(q, kc, vc, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

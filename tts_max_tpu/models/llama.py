@@ -747,14 +747,16 @@ def decode_step_paged(
     if not variant:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        # dense2 = the stacked-pool dense block-diagonal kernel: one
-        # MXU-shaped [hq, flat] matmul pair per multi-page group AND no
-        # per-layer pool slice (a Pallas operand must be a materialized
-        # buffer, so the layer-sliced forms make XLA copy [N, bs, Hkv, D]
-        # out of the scan carry EVERY layer; the stacked kernel instead
-        # scalar-prefetches the layer index and DMAs pages straight from
-        # the full stacked pool)
-        variant = "dense2" if use_pallas else "xla"
+        # dense block-diagonal kernel: per-head flash matmuls ([n_rep, d] x
+        # [d, bs]) are <1% MXU utilization and cost 20-32 ms/step at 1B
+        # batch-64 serving shapes in both the grid and manual-DMA variants;
+        # the dense variant computes MXU-shaped [hq, flat] products per
+        # multi-page group. NOTE: dense2 (stacked pool + scalar-prefetched
+        # layer) measured CATASTROPHICALLY slow in the layer scan even with
+        # in/out aliasing — this platform's XLA materializes a copy of the
+        # full stacked pool per layer for the custom call (178-508 ms/step,
+        # round 4) — so the sliced dense kernel stays the TPU default.
+        variant = "dense" if use_pallas else "xla"
     attn_fn = {
         "dense": pattn.paged_decode_attention_dense,
         "dense2": None,  # stacked: handled inline in layer_fn

@@ -129,6 +129,71 @@ def decode_attention_bucketed(
     )
 
 
+def decode_attention_dense(
+    q: jnp.ndarray,
+    k_cache,
+    v_cache,
+    lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """MXU-shaped decode attention: block-diagonal queries, one dense
+    [Hq, Hkv*D] x [Hkv*D, T] matmul pair per sequence — pure XLA.
+
+    The grouped einsum form below lowers to per-(batch, kv-head)
+    [n_rep, D] x [D, T] matmuls — <1% MXU utilization at GQA decode shapes,
+    which round-4 probes showed costing ~5x the raw KV bytes (13.6 μs/slot
+    at 1B B=64). Here each query head's D-slice sits in its kv-head's
+    column block of a [Hq, Hkv*D] matrix, so ONE dense product per
+    sequence computes all per-head scores (off-head terms multiply zeros;
+    ~Hkv x redundant FLOPs but MXU-shaped, ~0.4 ms of MXU time per step at
+    1B serving shapes), and a second dense product applies the
+    probabilities to V; the epilogue extracts each head's diagonal block.
+    Same trick as ops/paged_attention.paged_decode_attention_dense, but
+    with no Pallas custom call there is no operand materialization — this
+    composes with the layer scan for free. Numerics identical to
+    :func:`decode_attention` (parity-tested).
+    """
+    k_quant = isinstance(k_cache, dict)
+    v_quant = isinstance(v_cache, dict)
+    kq = k_cache["q"] if k_quant else k_cache
+    vq = v_cache["q"] if v_quant else v_cache
+    b, max_len, hkv, d = kq.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    flat = hkv * d
+    qg = q.reshape(b, hkv, n_rep, d).astype(jnp.float32) * (d**-0.5)
+    eye = jnp.eye(hkv, dtype=jnp.float32)
+    qbd = (qg[:, :, :, None, :] * eye[:, None, :, None]).reshape(b, hq, flat)
+    kf = kq.reshape(b, max_len, flat)
+    # [B, Hq, flat] @ [B, T, flat]^T -> [B, Hq, T] in one batched matmul
+    logits = jax.lax.dot_general(
+        qbd.astype(q.dtype), kf.astype(q.dtype),
+        (((2,), (2,)), ((0,), (0,))),
+    ).astype(jnp.float32)
+    if k_quant:
+        # per-(token, head) K scales: column t of head h's rows
+        ks = jnp.moveaxis(k_cache["scale"], 1, 2)  # [B, Hkv, T]
+        logits = logits * jnp.repeat(ks, n_rep, axis=1)
+    pos = jnp.arange(max_len)[None, None, :]
+    logits = jnp.where(pos < lengths[:, None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_quant:
+        vs = jnp.moveaxis(v_cache["scale"], 1, 2)
+        probs = probs * jnp.repeat(vs, n_rep, axis=1)
+    probs = probs.astype(q.dtype)
+    vf = vq.reshape(b, max_len, flat).astype(q.dtype)
+    # [B, Hq, T] @ [B, T, flat] -> [B, Hq, flat]
+    full = jax.lax.dot_general(
+        probs, vf, (((2,), (1,)), ((0,), (0,)))
+    )
+    # extract each head's diagonal [n_rep, D] block
+    out = jnp.einsum(
+        "bhrkd,hk->bhrd",
+        full.reshape(b, hkv, n_rep, hkv, d),
+        eye.astype(full.dtype),
+    )
+    return out.reshape(b, hq, d)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def decode_attention(
     q: jnp.ndarray,
@@ -147,7 +212,14 @@ def decode_attention(
     loss is negligible (per-token scales absorb RoPE magnitude variation).
     lengths: [B] number of valid cache entries (including the new token).
     Returns [B, Hq, D].
+
+    ``TTS_MAX_DENSE_DECODE_ATTN=1`` routes through
+    :func:`decode_attention_dense` (MXU-shaped block-diagonal matmuls).
     """
+    import os
+
+    if os.environ.get("TTS_MAX_DENSE_DECODE_ATTN", "0") == "1":
+        return decode_attention_dense(q, k_cache, v_cache, lengths)
     k_quant = isinstance(k_cache, dict)
     v_quant = isinstance(v_cache, dict)
     kq = k_cache["q"] if k_quant else k_cache
