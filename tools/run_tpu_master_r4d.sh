@@ -13,6 +13,10 @@ renv 3600 TTS_MAX_DENSE_DECODE_ATTN=1 python tools/probe_decode_variants.py \
     --batch 64 --k 32 --lens 192,512,768 --widths "" --skip-unroll --skip-flash
 renv 3600 TTS_MAX_DENSE_DECODE_ATTN=1 python tools/probe_decode_variants.py \
     --batch 64 --k 32 --lens 512,1792 --widths "" --kv int8 --skip-unroll --skip-flash
+# paged via XLA gather + dense attention (no Pallas operand copies)
+renv 3600 TTS_MAX_DENSE_DECODE_ATTN=1 python tools/probe_decode_variants.py \
+    --batch 64 --k 32 --lens "" --widths 4,8,12 --variants xla \
+    --skip-unroll --skip-flash
 renv 3600 TTS_MAX_DENSE_DECODE_ATTN=1 python tools/bench_engine.py \
     --arch llama-1b --quantize int8 --max-batch 64 --steps-per-dispatch 32 \
     --requests 256 --contiguous
