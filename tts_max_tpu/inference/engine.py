@@ -150,11 +150,15 @@ class InferenceEngine:
         if admission_policy not in ("fifo", "shortest"):
             raise ValueError(f"unknown admission_policy {admission_policy!r}")
         self.admission_policy = admission_policy
-        # staged-dispatch schedule: doubling from min_stage up to max_len
+        # staged-dispatch schedule: doubling from min_stage up to 1024, then
+        # arithmetic +512 — beyond 1 K slots the read cost per step is large
+        # enough that a 2x-granular ladder wastes up to ~50% of it, while
+        # each extra stage costs only one (persistently cached) compile
         self.staged_cache = staged_cache and min_stage < max_len
         sizes = [min(min_stage, max_len)]
         while sizes[-1] < max_len:
-            sizes.append(min(max_len, sizes[-1] * 2))
+            nxt = sizes[-1] * 2 if sizes[-1] < 1024 else sizes[-1] + 512
+            sizes.append(min(max_len, nxt))
         self._stages: tuple[int, ...] = tuple(sizes)
         # Batched admission: queued requests prefill together in groups of
         # these sizes (largest fitting first; must include 1). Each batch-1
@@ -216,6 +220,10 @@ class InferenceEngine:
         self._slots = [_Slot() for _ in range(max_batch)]
         self._queue: collections.deque[Request] = collections.deque()
         self._finished: list[Completion] = []
+        # lifetime counters + dispatch-stage histogram (stats())
+        self._total_tokens = 0
+        self._total_completions = 0
+        self._stage_counts: collections.Counter = collections.Counter()
         # in-flight (blob, slot snapshot) when poll() pipelines dispatches
         self._pending_dispatch = None
         self._ids = itertools.count()
@@ -430,6 +438,9 @@ class InferenceEngine:
             "tokens_in_flight": sum(
                 len(s.generated) for s in self._slots if s.request
             ),
+            "completed_requests": self._total_completions,
+            "generated_tokens": self._total_tokens,
+            "dispatches_per_stage": dict(self._stage_counts),
         }
         if hasattr(self, "_refs"):  # paged subclass
             out.update(
@@ -937,8 +948,10 @@ class InferenceEngine:
         slot = self._slots[slot_idx]
         req = slot.request
         slot.generated.append(tok)
+        self._total_tokens += 1
         if tok == req.eos_id or len(slot.generated) >= req.max_new_tokens:
             reason = "eos" if tok == req.eos_id else "length"
+            self._total_completions += 1
             self._finished.append(
                 Completion(
                     req.request_id,
@@ -960,6 +973,7 @@ class InferenceEngine:
         attributed to the occupants it was dispatched for."""
         if stage == "auto":
             stage = self._dispatch_stage()
+        self._stage_counts[stage if stage is not None else self.max_len] += 1
         snapshot = [
             s.request.request_id if s.request is not None else None
             for s in self._slots
