@@ -32,6 +32,16 @@ def enable_compilation_cache() -> None:
         return
     import jax
 
+    # CPU-backend AOT cache entries can be compiled with pseudo-features
+    # (+prefer-no-scatter/-gather) the loader then rejects — and loading
+    # them SEGFAULTED a full test run on this image. The cache's real win
+    # is the TPU relay's 4-18 min compiles, so enable it only when the
+    # resolved platform is not CPU.
+    platforms = (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+    )
+    if "cpu" in platforms.split(","):
+        return
     cache_dir = os.environ.get(
         "TTS_MAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR
     )
