@@ -152,3 +152,55 @@ def test_xla_dense_decode_attention_matches():
     out = decode_attention_dense(q, kc, vc, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_prewrite_attention_matches_postwrite():
+    """decode_attention_prewrite(cache_pre, k_new, v_new) == write-then-
+    attend (exact with an fp cache; the engine's in-place-scatter fix)."""
+    from tts_max_tpu.ops.attention import (
+        decode_attention,
+        decode_attention_prewrite,
+    )
+
+    rng = np.random.default_rng(11)
+    b, t, hkv, d, hq = 3, 64, 2, 32, 8
+    k = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, hkv, d)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32))
+    k_new = rng.normal(size=(b, hkv, d)).astype(np.float32)
+    v_new = rng.normal(size=(b, hkv, d)).astype(np.float32)
+    lengths = np.asarray([5, 63, 17], np.int32)  # BEFORE the new token
+    kp, vp = k.copy(), v.copy()
+    for i, n in enumerate(lengths):
+        kp[i, n] = k_new[i].reshape(hkv, d)
+        vp[i, n] = v_new[i].reshape(hkv, d)
+    ref = decode_attention(
+        q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(lengths + 1)
+    )
+    out = decode_attention_prewrite(
+        q, jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        jnp.asarray(k_new), jnp.asarray(v_new),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_step_prewrite_matches():
+    """decode_step(prewrite=True) == the post-write path through the layer
+    scan (exact for an fp cache; the written cache rows are identical)."""
+    from tts_max_tpu.models import llama
+
+    cfg = llama.tiny_config(vocab_size=64, max_seq_len=128)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    cache = llama.init_kv_cache(cfg, 2, 64)
+    toks = jnp.asarray([11, 23], jnp.int32)
+    lengths = jnp.asarray([5, 9], jnp.int32)
+    l_x, c_x = llama.decode_step(params, cfg, cache, toks, lengths)
+    l_p, c_p = llama.decode_step(params, cfg, cache, toks, lengths,
+                                 prewrite=True)
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), atol=2e-2)
+    for a, b_ in zip(jax.tree.leaves(c_x), jax.tree.leaves(c_p)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )

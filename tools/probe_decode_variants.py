@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--no-window", action="store_true")
     ap.add_argument("--skip-unroll", action="store_true")
     ap.add_argument("--skip-flash", action="store_true")
+    ap.add_argument("--nowrite", action="store_true",
+                    help="ablation: also time decode WITHOUT the K/V "
+                    "cache scatter (wrong numerics; isolates scatter cost)")
+    ap.add_argument("--prewrite", action="store_true",
+                    help="also time the attend-before-write formulation")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
@@ -89,8 +94,11 @@ def main():
         print(f"{name:>16}: {dt / k * 1e3:6.2f} ms/step  "
               f"({b * k / dt:6.0f} tok/s sync ceiling)", flush=True)
 
-    def ksteps_contig(cache_len, unroll, flash=False):
-        # fixed greedy-ish loop: argmax over the (windowed) head, K steps
+    def ksteps_contig(cache_len, unroll, flash=False, write=True,
+                      prewrite=False):
+        # fixed greedy-ish loop: argmax over the (windowed) head, K steps.
+        # write=False skips the per-layer K/V cache scatter (WRONG numerics;
+        # isolates whether the scatter copies the whole cache per layer)
         def fn(params, cache, lengths):
             params = quantization.unpack_packed_params(params)
             head = (llama.slice_logits_head(params, cfg, *window)
@@ -100,7 +108,8 @@ def main():
                 cache, lengths, toks = carry
                 logits, cache = llama.decode_step(
                     params, cfg, cache, toks, lengths, logits_head=head,
-                    unroll=unroll, flash=flash,
+                    unroll=unroll, flash=flash, skip_write=not write,
+                    prewrite=prewrite,
                 )
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32) + (
                     window[0] if window else 0
@@ -125,6 +134,18 @@ def main():
                 ksteps_contig(L, True), params, cache, lengths, rtt=rtt
             )
             report(f"unroll@{L}", dt)
+        if args.nowrite:
+            dt = time_fn(
+                ksteps_contig(L, False, write=False), params, cache,
+                lengths, rtt=rtt,
+            )
+            report(f"nowrite@{L}", dt)
+        if args.prewrite:
+            dt = time_fn(
+                ksteps_contig(L, False, prewrite=True), params, cache,
+                lengths, rtt=rtt,
+            )
+            report(f"prewrite@{L}", dt)
         if not args.skip_flash:
             # NOTE: lengths start at 96 — flash skips never-live chunks, so
             # its early steps read ~96-128 rows while scan reads all L (the

@@ -494,8 +494,20 @@ def decode_step(
     *,
     unroll: bool = False,
     flash: bool | None = None,
+    skip_write: bool = False,
+    prewrite: bool | None = None,
 ):
     """One AR decode step.
+
+    ``skip_write=True`` is an ABLATION ONLY: the new token's K/V rows are
+    not written (attention output is wrong for them), isolating the cache
+    scatter's cost from the attention read.
+
+    ``prewrite``: attend against the PRE-write cache plus an explicit
+    new-token softmax column (ops/attention.decode_attention_prewrite —
+    mathematically the post-write attention), so the K/V scatter's output
+    feeds only the carry and XLA can update the cache in place instead of
+    copying it per layer. None = the TTS_MAX_PREWRITE_ATTN env var.
 
     tokens: [B] new token ids; lengths: [B] valid cache entries BEFORE this
     token (also its position index). Returns (logits [B, V], new cache);
@@ -521,6 +533,8 @@ def decode_step(
 
     if flash is None:
         flash = os.environ.get("TTS_MAX_FLASH_DECODE", "0") == "1"
+    if prewrite is None:
+        prewrite = os.environ.get("TTS_MAX_PREWRITE_ATTN", "0") == "1"
     b = tokens.shape[0]
     cos, sin = rope_table(
         cfg.head_dim, cache_max_len(cache), cfg.rope_theta, cfg.use_llama3_rope_scaling
@@ -582,23 +596,36 @@ def decode_step(
                         "scale": take(cache_entry["scale"])}
             return take(cache_entry)
 
-        k_all = write(k_all, k)
-        v_all = write(v_all, v)
-        if flash:
-            from tts_max_tpu.ops.pallas_decode import flash_decode_attention
+        if prewrite and not skip_write:
+            from tts_max_tpu.ops.attention import decode_attention_prewrite
 
-            # stacked + cache-aliased form: the kernel scalar-prefetches the
-            # layer index and the carry threads through the custom call as
-            # in/out-aliased operands — no per-layer (or full-cache) copy
-            o, k_all, v_all = flash_decode_attention(
-                q, k_all, v_all, lengths + 1, layer=layer,
-                alias_caches=True,
-            )
-            o = o.astype(h.dtype)
-        else:
-            o = decode_attention(
-                q, layer_slice(k_all), layer_slice(v_all), lengths + 1
+            o = decode_attention_prewrite(
+                q, layer_slice(k_all), layer_slice(v_all), lengths, k, v
             ).astype(h.dtype)
+            k_all = write(k_all, k)
+            v_all = write(v_all, v)
+        else:
+            if not skip_write:
+                k_all = write(k_all, k)
+                v_all = write(v_all, v)
+            if flash:
+                from tts_max_tpu.ops.pallas_decode import (
+                    flash_decode_attention,
+                )
+
+                # stacked + cache-aliased form: the kernel scalar-prefetches
+                # the layer index and the carry threads through the custom
+                # call as in/out-aliased operands (still copied by this
+                # platform's XLA — kept for ablations)
+                o, k_all, v_all = flash_decode_attention(
+                    q, k_all, v_all, lengths + 1, layer=layer,
+                    alias_caches=True,
+                )
+                o = o.astype(h.dtype)
+            else:
+                o = decode_attention(
+                    q, layer_slice(k_all), layer_slice(v_all), lengths + 1
+                ).astype(h.dtype)
         h = h + matmul(o.reshape(b, cfg.q_dim), lp["attn"]["wo"]["kernel"])
         h = _mlp_block(h[:, None, :], lp, cfg)[:, 0]
         return h, k_all, v_all

@@ -129,6 +129,60 @@ def decode_attention_bucketed(
     )
 
 
+def decode_attention_prewrite(
+    q: jnp.ndarray,
+    k_cache,
+    v_cache,
+    lengths: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+) -> jnp.ndarray:
+    """Decode attention against the PRE-write cache + an explicit term for
+    the new token.
+
+    Mathematically equal to writing (k_new, v_new) at row ``lengths`` and
+    attending with mask ``lengths + 1``: the cache contributes positions
+    < lengths and the new token contributes one extra softmax column
+    (computed from the fp k_new/v_new — with an int8 cache this is
+    slightly MORE accurate than the post-write path, which attends to the
+    just-quantized row). The point is dataflow: the cache scatter's output
+    then feeds ONLY the next layer's carry, never an in-iteration read —
+    the double-consumer pattern that makes XLA materialize a full cache
+    copy per layer (round-4 probes: ~13.6 μs/slot ≈ 5x the raw KV read).
+
+    q: [B, Hq, D]; k_new/v_new: [B, Hkv, D]; caches as decode_attention.
+    """
+    k_quant = isinstance(k_cache, dict)
+    v_quant = isinstance(v_cache, dict)
+    kq = k_cache["q"] if k_quant else k_cache
+    vq = v_cache["q"] if v_quant else v_cache
+    b, max_len, hkv, d = kq.shape
+    hq = q.shape[1]
+    n_rep = hq // hkv
+    scale = d ** -0.5
+    qg = q.reshape(b, hkv, n_rep, d)
+    logits = jnp.einsum(
+        "bgrd,bkgd->bgrk", qg, kq.astype(q.dtype)
+    ).astype(jnp.float32) * scale
+    if k_quant:
+        logits = logits * jnp.moveaxis(k_cache["scale"], 1, 2)[:, :, None, :]
+    pos = jnp.arange(max_len)[None, None, None, :]
+    mask = pos < lengths[:, None, None, None]
+    logits = jnp.where(mask, logits, -1e30)
+    s_new = jnp.einsum(
+        "bgrd,bgd->bgr", qg, k_new.astype(q.dtype)
+    ).astype(jnp.float32) * scale
+    logits = jnp.concatenate([logits, s_new[..., None]], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_cache, p_new = probs[..., :-1], probs[..., -1:]
+    if v_quant:
+        p_cache = p_cache * jnp.moveaxis(v_cache["scale"], 1, 2)[:, :, None, :]
+    out = jnp.einsum(
+        "bgrk,bkgd->bgrd", p_cache.astype(q.dtype), vq.astype(q.dtype)
+    ) + p_new.astype(q.dtype) * v_new.astype(q.dtype)[:, :, None, :]
+    return out.reshape(b, hq, d)
+
+
 def decode_attention_dense(
     q: jnp.ndarray,
     k_cache,
