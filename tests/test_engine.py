@@ -332,8 +332,12 @@ def test_engine_multi_step_dispatch_matches_single(setup):
     ref = InferenceEngine(params, cfg, max_batch=2, max_len=128, sp=sp)
     want = ref.generate_all(prompts, max_new_tokens=7, eos_id=-1, seed=11)
 
+    # delta_kv=False: this test pins the SCHEDULING invariant (K-step vs
+    # per-step dispatch) bit-exactly on a bf16 model; the delta-KV
+    # formulation's reordered softmax sums are equivalence-tested
+    # separately in fp32 (test_engine_staged.test_delta_kv_matches_*)
     multi = InferenceEngine(params, cfg, max_batch=2, max_len=128, sp=sp,
-                            steps_per_dispatch=4)
+                            steps_per_dispatch=4, delta_kv=False)
     got = multi.generate_all(prompts, max_new_tokens=7, eos_id=-1, seed=11)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w.tokens, g.tokens)

@@ -161,3 +161,54 @@ def test_admission_policy_validation(setup):
     cfg, params = setup
     with pytest.raises(ValueError):
         InferenceEngine(params, cfg, admission_policy="sjf")
+
+
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_delta_kv_matches_conventional(setup, quantized_kv):
+    """delta_kv dispatches (read-only cache + per-dispatch commit) must
+    reproduce the conventional write-then-attend engine. fp32 compute:
+    the split cache/delta softmax sums the same logits in a different
+    order, and a random tiny model's near-uniform bf16 logits flip greedy
+    on last-ulp wobble (int8 KV additionally attends delta rows
+    unquantized within their dispatch)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts, budgets = _mixed_load(rng, 8)
+    kw = dict(max_batch=3, max_len=256, sp=_greedy_sp(),
+              steps_per_dispatch=4, min_stage=32,
+              quantized_kv=quantized_kv)
+    ref = InferenceEngine(params, cfg, delta_kv=False, **kw)
+    ref_out = _run(ref, prompts, budgets)
+    eng = InferenceEngine(params, cfg, delta_kv=True, **kw)
+    out = _run(eng, prompts, budgets)
+    for r, o in zip(ref_out, out):
+        np.testing.assert_array_equal(r, o)
+
+
+def test_delta_kv_cancel_and_readmission(setup):
+    cfg, params = setup
+    long_p = np.arange(3, 40, dtype=np.int32)
+    short_p = np.array([7, 8, 9], dtype=np.int32)
+    eng = InferenceEngine(params, cfg, max_batch=2, max_len=256,
+                          sp=_greedy_sp(), steps_per_dispatch=4,
+                          min_stage=32, delta_kv=True)
+    rid_long = eng.submit(long_p, 180, eos_id=-1, sampling_seed=0)
+    rid_short = eng.submit(short_p, 60, eos_id=-1, sampling_seed=1)
+    done = []
+    polls = 0
+    while eng.has_work():
+        done.extend(eng.poll())
+        polls += 1
+        if polls == 3:
+            assert eng.cancel(rid_long)
+    by_id = {c.request_id: c for c in done}
+    solo = InferenceEngine(params, cfg, max_batch=1, max_len=256,
+                           sp=_greedy_sp(), steps_per_dispatch=4,
+                           min_stage=32, delta_kv=True)
+    [ref] = solo.generate_all([short_p], 60, eos_id=-1, seed=1)
+    np.testing.assert_array_equal(by_id[rid_short].tokens, ref.tokens)
