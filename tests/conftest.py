@@ -29,6 +29,23 @@ enable_compilation_cache()
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables + constant buffers after every module.
+
+    The full ~470-test suite in one process segfaulted deterministically in
+    an XLA:CPU compile near the end (after the torch-heavy w2vbert module)
+    in three separate runs, while every subset passed — cumulative
+    native-state pressure from hundreds of retained executables. Clearing
+    per module keeps the high-water bounded; modules recompile their own
+    programs anyway."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from tts_max_tpu.core.config import MeshConfig
