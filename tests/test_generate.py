@@ -270,3 +270,71 @@ def test_min_new_tokens_blocks_eos(tiny):
                      vocab_window=(0, cfg.vocab_size))
     np.testing.assert_array_equal(np.asarray(res.tokens),
                                   np.asarray(res_w.tokens))
+
+
+def test_host_staged_delta_matches_conventional():
+    """delta_k stages (periodic commit instead of per-step cache writes)
+    reproduce the conventional host-staged generation (fp32: same softmax
+    set, different sum order)."""
+    import dataclasses
+
+    from tts_max_tpu.inference.generate import make_host_staged_generate_fn
+
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=64, max_seq_len=512),
+        dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, 16), 3, 60)
+    lens = jnp.asarray([5, 16, 9], jnp.int32)
+    kw = dict(max_new_tokens=70, eos_id=-1, cache_len=256,
+              max_steps_per_dispatch=24)
+    ref = make_host_staged_generate_fn(cfg, sp, **kw)(
+        params, toks, lens, jax.random.PRNGKey(2)
+    )
+    for dk in (8, 32):
+        got = make_host_staged_generate_fn(cfg, sp, delta_k=dk, **kw)(
+            params, toks, lens, jax.random.PRNGKey(2)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(got.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.num_generated), np.asarray(got.num_generated)
+        )
+
+
+def test_host_staged_delta_quantized_kv():
+    """delta_k with an int8 KV cache stays coherent across stage growth +
+    dispatch boundaries (commit quantizes; later dispatches re-read)."""
+    import dataclasses
+
+    from tts_max_tpu.inference.generate import make_host_staged_generate_fn
+
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=64, max_seq_len=512),
+        dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    sp = sampling.SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                 frequency_penalty=0.0)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 3, 60)
+    lens = jnp.asarray([5, 8], jnp.int32)
+    kw = dict(max_new_tokens=60, eos_id=-1, cache_len=256,
+              quantized_kv=True, max_steps_per_dispatch=16)
+    ref = make_host_staged_generate_fn(cfg, sp, **kw)(
+        params, toks, lens, jax.random.PRNGKey(2)
+    )
+    got = make_host_staged_generate_fn(cfg, sp, delta_k=16, **kw)(
+        params, toks, lens, jax.random.PRNGKey(2)
+    )
+    # int8: delta windows attend unquantized rows until commit — tokens may
+    # rarely differ on a random tiny model; require high agreement and
+    # identical generation lengths
+    agree = (np.asarray(ref.tokens) == np.asarray(got.tokens)).mean()
+    assert agree > 0.9, agree
+    np.testing.assert_array_equal(
+        np.asarray(ref.num_generated), np.asarray(got.num_generated)
+    )

@@ -12,9 +12,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from tts_max_tpu.utils.platform import enable_compilation_cache
+from tts_max_tpu.utils.platform import apply_platform_env
 
-enable_compilation_cache()
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from tts_max_tpu.utils.platform import enable_compilation_cache
+from tts_max_tpu.utils.platform import apply_platform_env
 
-enable_compilation_cache()
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,9 @@ def main():
                     help="weight precision: 8 or 4")
     ap.add_argument("--kv", choices=["both", "bf16", "int8"], default="both")
     ap.add_argument("--arch", default="llama-1b")
+    ap.add_argument("--delta-k", type=int, default=0,
+                    help="delta-KV stages: commit the cache every K steps "
+                    "instead of writing per step (0 = conventional)")
     args = ap.parse_args()
     cache_len = args.prompt_len + args.steps
 
@@ -78,7 +81,7 @@ def main():
                 gen = make_host_staged_generate_fn(
                     cfg, sp, max_new_tokens=args.steps, eos_id=-1,
                     cache_len=cache_len, quantized_kv=qkv,
-                    vocab_window=window,
+                    vocab_window=window, delta_k=args.delta_k or None,
                 )
             else:
                 gen = make_generate_fn(

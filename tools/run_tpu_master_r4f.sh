@@ -29,4 +29,12 @@ run 4800 python tools/bench_engine.py --arch llama-8b --quantize int4 \
 run 4800 python tools/bench_engine.py --arch llama-8b --quantize int4 \
     --max-batch 32 --steps-per-dispatch 16 --requests 96 --max-len 640 \
     --kv int8 --contiguous
+# generate-path delta-KV: the long-form lever (cache copy was ~17 of 20.6
+# ms/step at 1824 slots)
+run 4200 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
+    --skip_full --window --delta-k 64
+run 4200 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
+    --skip_full --window --delta-k 128
+run 2400 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
+    --skip_full --window
 echo "=== MASTER-R4F DONE $(date +%H:%M:%S)" | tee -a "$LOG"

@@ -161,6 +161,100 @@ def _run_stage(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
     return jax.lax.while_loop(_make_cond(limit), body, state)
 
 
+def _run_stage_delta(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
+                     delta_k, vocab_window=None, min_new_tokens=0):
+    """Delta-KV form of a decode stage: the cache is written only by an
+    in-program commit every ``delta_k`` steps (plus one final partial
+    commit), not per step.
+
+    Round-4 ablation: the conventional per-step K/V scatter makes XLA copy
+    the whole loop-carried cache every iteration (2.5x the attention read
+    at 768 slots; ~17 of 20.6 ms/step at a 1792-slot cache). Here each
+    step's rows land in a [L, B, delta_k, Hkv, D] buffer, attention runs
+    jointly over cache[:base] + the masked delta
+    (llama.decode_step_delta), and lax.cond commits the window — an
+    untouched carry passes through without copying, so the cache copy is
+    paid once per ``delta_k`` steps. Same softmax set as the conventional
+    path (bitwise-different sum order; int8 caches attend the current
+    window unquantized and quantize at commit).
+    """
+    from tts_max_tpu.models.quantization import unpack_packed_params
+
+    b = state[3].shape[0]
+    lo = vocab_window[0] if vocab_window else 0
+    params = unpack_packed_params(params)
+    state = (state[0], llama.grow_cache(state[1], size)) + state[2:]
+    head = (
+        llama.slice_logits_head(params, cfg, *vocab_window)
+        if vocab_window else None
+    )
+    eos_w = eos_id - lo
+    block_eos = (
+        min_new_tokens > 0
+        and 0 <= eos_w < (vocab_window[1] if vocab_window else cfg.vocab_size)
+    )
+    (i0, cache, logits, lengths, rng, token_counts, gen_counts, done, out,
+     n_gen) = state
+    delta = llama.init_delta(cfg, b, delta_k)
+    dmask = jnp.zeros((b, delta_k), dtype=bool)
+    base = lengths
+
+    def body(st):
+        (i, j, cache, delta, dmask, base, logits, lengths, rng,
+         token_counts, gen_counts, done, out, n_gen) = st
+        rng, k = jax.random.split(rng)
+        if block_eos:
+            logits = logits.at[:, eos_w].set(
+                jnp.where(n_gen < min_new_tokens, -jnp.inf,
+                          logits[:, eos_w])
+            )
+        tok_w = sampling.sample_token(k, logits, sp, token_counts,
+                                      gen_counts)
+        tok = jnp.where(done, pad_id, tok_w + lo).astype(jnp.int32)
+        newly_done = tok == eos_id
+        out = out.at[:, i].set(jnp.where(done, pad_id, tok))
+        n_gen = n_gen + (~done).astype(jnp.int32)
+        inc = (~done).astype(jnp.int32)
+        idx = jnp.where(done, 0, tok_w)
+        token_counts = token_counts.at[jnp.arange(b), idx].add(inc)
+        gen_counts = gen_counts.at[jnp.arange(b), idx].add(inc)
+        dmask = dmask.at[:, j].set(~done)
+        logits, delta = llama.decode_step_delta(
+            params, cfg, cache, delta, tok,
+            jnp.minimum(lengths, size - 1), base, dmask, j,
+            logits_head=head,
+        )
+        lengths = lengths + inc
+        done = done | newly_done
+
+        def flush(args):
+            cache, delta, dmask, base = args
+            return (llama.commit_delta(cache, delta, base),
+                    jax.tree.map(jnp.zeros_like, delta),
+                    jnp.zeros_like(dmask), lengths)
+
+        cache, delta, dmask, base = jax.lax.cond(
+            j == delta_k - 1, flush, lambda a: a,
+            (cache, delta, dmask, base),
+        )
+        j = jnp.where(j == delta_k - 1, 0, j + 1)
+        return (i + 1, j, cache, delta, dmask, base, logits, lengths, rng,
+                token_counts, gen_counts, done, out, n_gen)
+
+    st = (i0, jnp.zeros((), jnp.int32), cache, delta, dmask, base, logits,
+          lengths, rng, token_counts, gen_counts, done, out, n_gen)
+
+    def cond2(st):
+        return (st[0] < limit) & ~jnp.all(st[11])
+
+    st = jax.lax.while_loop(cond2, body, st)
+    (i, j, cache, delta, dmask, base, logits, lengths, rng, token_counts,
+     gen_counts, done, out, n_gen) = st
+    cache = llama.commit_delta(cache, delta, base)  # final partial window
+    return (i, cache, logits, lengths, rng, token_counts, gen_counts, done,
+            out, n_gen)
+
+
 def generate(
     params,
     cfg: llama.LlamaConfig,
@@ -237,7 +331,8 @@ def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
 def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                                  cache_len=None, quantized_kv=False,
                                  max_steps_per_dispatch=512,
-                                 vocab_window=None, min_new_tokens=0):
+                                 vocab_window=None, min_new_tokens=0,
+                                 delta_k=None):
     """Staged generation with one jitted program per cache size.
 
     Numerically identical to ``make_generate_fn(..., staged=True)`` but
@@ -250,6 +345,12 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
     relay drops executions running for roughly a minute) — while stage
     programs are shared across calls. Set ``max_steps_per_dispatch=None``
     for one dispatch per stage.
+
+    ``delta_k`` (e.g. 64): use delta-KV stages (_run_stage_delta) — the
+    cache is committed once per ``delta_k`` steps instead of written per
+    step, removing the per-iteration full-cache copy XLA makes for the
+    conventional scatter (round-4 ablation; the dominant cost at long
+    caches). Same softmax set, bitwise-different sum order.
     """
     init = jax.jit(
         functools.partial(
@@ -277,12 +378,21 @@ def make_host_staged_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0,
                     donate_argnums=(0,),
                 )
             if size not in stage_jits:
-                stage_jits[size] = jax.jit(
-                    functools.partial(
+                if delta_k:
+                    stage_fn = functools.partial(
+                        _run_stage_delta, cfg=cfg, sp=sp, eos_id=eos_id,
+                        pad_id=pad_id, size=size, delta_k=delta_k,
+                        vocab_window=vocab_window,
+                        min_new_tokens=min_new_tokens,
+                    )
+                else:
+                    stage_fn = functools.partial(
                         _run_stage, cfg=cfg, sp=sp, eos_id=eos_id,
                         pad_id=pad_id, size=size, vocab_window=vocab_window,
                         min_new_tokens=min_new_tokens,
-                    ),
+                    )
+                stage_jits[size] = jax.jit(
+                    stage_fn,
                     donate_argnums=(1,),  # consume the input state in place
                 )
             state = (state[0], grow_jits[size](state[1])) + state[2:]

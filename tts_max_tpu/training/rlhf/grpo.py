@@ -268,8 +268,12 @@ class GRPOTrainer:
             total_rewards += w * r
         advantages = compute_advantages(total_rewards, G, self.scale_rewards)
 
-        # train batch: prompt + completion, right padded
-        L = bucket + self.rlhf.max_completion_length
+        # train batch: prompt + completion, right padded to a FIXED length —
+        # a per-bucket length would recompile the (remat + chunked-logprob)
+        # update program every time the batch's prompt bucket changes, which
+        # measured ~15 min/step on the relayed chip (round 4)
+        L = max(self.rlhf.max_prompt_length,
+                bucket) + self.rlhf.max_completion_length
         tokens = np.zeros((B, L), dtype=np.int32)
         mask = np.zeros((B, L), dtype=bool)
         for i in range(B):
