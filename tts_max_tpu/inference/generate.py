@@ -271,6 +271,7 @@ def generate(
     staged: bool = False,
     vocab_window: tuple[int, int] | None = None,
     min_new_tokens: int = 0,
+    delta_k: int | None = None,
 ) -> GenerateResult:
     """prompt_tokens: right-padded [B, S]; returns generated tokens only.
 
@@ -304,25 +305,33 @@ def generate(
         quantized_kv=quantized_kv, vocab_window=vocab_window,
     )
     for size in sizes:
-        state = _run_stage(
-            params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
-            size=size, limit=min(max_new_tokens, size - s),
-            vocab_window=vocab_window, min_new_tokens=min_new_tokens,
-        )
+        if delta_k:
+            state = _run_stage_delta(
+                params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
+                size=size, limit=min(max_new_tokens, size - s),
+                delta_k=delta_k, vocab_window=vocab_window,
+                min_new_tokens=min_new_tokens,
+            )
+        else:
+            state = _run_stage(
+                params, state, cfg=cfg, sp=sp, eos_id=eos_id, pad_id=pad_id,
+                size=size, limit=min(max_new_tokens, size - s),
+                vocab_window=vocab_window, min_new_tokens=min_new_tokens,
+            )
     (steps, _, _, _, _, _, _, _, out, n_gen) = state
     return GenerateResult(tokens=out, num_generated=n_gen, steps=steps)
 
 
 def make_generate_fn(cfg, sp, max_new_tokens, eos_id, pad_id=0, cache_len=None,
                      quantized_kv=False, staged=False, vocab_window=None,
-                     min_new_tokens=0):
+                     min_new_tokens=0, delta_k=None):
     def fn(params, prompt_tokens, prompt_lengths, rng):
         return generate(
             params, cfg, prompt_tokens, prompt_lengths, rng,
             sp=sp, max_new_tokens=max_new_tokens, eos_id=eos_id,
             pad_id=pad_id, cache_len=cache_len, quantized_kv=quantized_kv,
             staged=staged, vocab_window=vocab_window,
-            min_new_tokens=min_new_tokens,
+            min_new_tokens=min_new_tokens, delta_k=delta_k,
         )
 
     return jax.jit(fn)
