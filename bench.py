@@ -68,9 +68,13 @@ def main():
     # window instead of all 193856 rows — ~3x smaller LM-head + penalty
     # buffer HBM read per step (+21% measured, BENCHMARKS.md).
     speech_window = (128264, 65544)
+    import os
+
+    delta_k = int(os.environ.get("TTS_MAX_DELTA_K", "0")) or None
     gen = make_generate_fn(
         cfg, sp, max_new_tokens=decode_steps, eos_id=-1,
         cache_len=prompt_len + decode_steps, vocab_window=speech_window,
+        delta_k=delta_k,
     )
 
     from tts_max_tpu.utils.profiling import fetch_rtt

@@ -37,4 +37,6 @@ run 4200 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
     --skip_full --window --delta-k 128
 run 2400 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
     --skip_full --window
+echo "=== $(date +%H:%M:%S) [TTS_MAX_DELTA_K=64] python bench.py" | tee -a "$LOG"
+TTS_MAX_DELTA_K=64 timeout 2400 python bench.py 2>&1 | tail -8 | tee -a "$LOG"
 echo "=== MASTER-R4F DONE $(date +%H:%M:%S)" | tee -a "$LOG"
