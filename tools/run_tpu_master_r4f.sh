@@ -39,4 +39,8 @@ run 2400 python tools/bench_longform.py --batch 64 --steps 1760 --kv int8 \
     --skip_full --window
 echo "=== $(date +%H:%M:%S) [TTS_MAX_DELTA_K=64] python bench.py" | tee -a "$LOG"
 TTS_MAX_DELTA_K=64 timeout 2400 python bench.py 2>&1 | tail -8 | tee -a "$LOG"
+# fixed-shape GRPO retry (one update compile instead of one per bucket)
+echo "=== $(date +%H:%M:%S) RLHF fixed-shape smoke" | tee -a "$LOG"
+STEPS=16 MAXCOMP=96 timeout 2700 bash tools/run_tpu_rlhf_demo.sh \
+    /tmp/rlhf_demo_r4f 2>&1 | tail -8 | tee -a "$LOG"
 echo "=== MASTER-R4F DONE $(date +%H:%M:%S)" | tee -a "$LOG"
