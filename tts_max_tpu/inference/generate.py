@@ -172,9 +172,13 @@ def _run_stage_delta(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
     at 768 slots; ~17 of 20.6 ms/step at a 1792-slot cache). Here each
     step's rows land in a [L, B, delta_k, Hkv, D] buffer, attention runs
     jointly over cache[:base] + the masked delta
-    (llama.decode_step_delta), and lax.cond commits the window — an
-    untouched carry passes through without copying, so the cache copy is
-    paid once per ``delta_k`` steps. Same softmax set as the conventional
+    (llama.decode_step_delta), and the cache is committed once per window.
+    Structure matters on this platform: a single loop with a lax.cond
+    flush STILL copies the cache every step (the identity branch writes
+    the cond's output buffer — measured, first attempt), so the windows
+    are a NESTED loop — the inner bounded loop carries only the delta +
+    small state (cache as a read-only closure operand), and the outer
+    body commits unconditionally. Same softmax set as the conventional
     path (bitwise-different sum order; int8 caches attend the current
     window unquantized and quantize at commit).
     """
@@ -195,64 +199,68 @@ def _run_stage_delta(params, state, *, cfg, sp, eos_id, pad_id, size, limit,
     )
     (i0, cache, logits, lengths, rng, token_counts, gen_counts, done, out,
      n_gen) = state
-    delta = llama.init_delta(cfg, b, delta_k)
-    dmask = jnp.zeros((b, delta_k), dtype=bool)
-    base = lengths
 
-    def body(st):
-        (i, j, cache, delta, dmask, base, logits, lengths, rng,
-         token_counts, gen_counts, done, out, n_gen) = st
-        rng, k = jax.random.split(rng)
-        if block_eos:
-            logits = logits.at[:, eos_w].set(
-                jnp.where(n_gen < min_new_tokens, -jnp.inf,
-                          logits[:, eos_w])
+    def make_inner_body(cache):  # cache: read-only loop-invariant operand
+        def inner_body(st):
+            (i, j, delta, dmask, base, logits, lengths, rng,
+             token_counts, gen_counts, done, out, n_gen) = st
+            rng, k = jax.random.split(rng)
+            if block_eos:
+                logits = logits.at[:, eos_w].set(
+                    jnp.where(n_gen < min_new_tokens, -jnp.inf,
+                              logits[:, eos_w])
+                )
+            tok_w = sampling.sample_token(k, logits, sp, token_counts,
+                                          gen_counts)
+            tok = jnp.where(done, pad_id, tok_w + lo).astype(jnp.int32)
+            newly_done = tok == eos_id
+            out = out.at[:, i].set(jnp.where(done, pad_id, tok))
+            n_gen = n_gen + (~done).astype(jnp.int32)
+            inc = (~done).astype(jnp.int32)
+            idx = jnp.where(done, 0, tok_w)
+            token_counts = token_counts.at[jnp.arange(b), idx].add(inc)
+            gen_counts = gen_counts.at[jnp.arange(b), idx].add(inc)
+            dmask = dmask.at[:, j].set(~done)
+            logits, delta = llama.decode_step_delta(
+                params, cfg, cache, delta, tok,
+                jnp.minimum(lengths, size - 1), base, dmask, j,
+                logits_head=head,
             )
-        tok_w = sampling.sample_token(k, logits, sp, token_counts,
-                                      gen_counts)
-        tok = jnp.where(done, pad_id, tok_w + lo).astype(jnp.int32)
-        newly_done = tok == eos_id
-        out = out.at[:, i].set(jnp.where(done, pad_id, tok))
-        n_gen = n_gen + (~done).astype(jnp.int32)
-        inc = (~done).astype(jnp.int32)
-        idx = jnp.where(done, 0, tok_w)
-        token_counts = token_counts.at[jnp.arange(b), idx].add(inc)
-        gen_counts = gen_counts.at[jnp.arange(b), idx].add(inc)
-        dmask = dmask.at[:, j].set(~done)
-        logits, delta = llama.decode_step_delta(
-            params, cfg, cache, delta, tok,
-            jnp.minimum(lengths, size - 1), base, dmask, j,
-            logits_head=head,
-        )
-        lengths = lengths + inc
-        done = done | newly_done
+            lengths = lengths + inc
+            done = done | newly_done
+            return (i + 1, j + 1, delta, dmask, base, logits, lengths,
+                    rng, token_counts, gen_counts, done, out, n_gen)
 
-        def flush(args):
-            cache, delta, dmask, base = args
-            return (llama.commit_delta(cache, delta, base),
-                    jax.tree.map(jnp.zeros_like, delta),
-                    jnp.zeros_like(dmask), lengths)
+        return inner_body
 
-        cache, delta, dmask, base = jax.lax.cond(
-            j == delta_k - 1, flush, lambda a: a,
-            (cache, delta, dmask, base),
-        )
-        j = jnp.where(j == delta_k - 1, 0, j + 1)
-        return (i + 1, j, cache, delta, dmask, base, logits, lengths, rng,
-                token_counts, gen_counts, done, out, n_gen)
+    def inner_cond(st):
+        i, j, done = st[0], st[1], st[10]
+        return (i < limit) & (j < delta_k) & ~jnp.all(done)
 
-    st = (i0, jnp.zeros((), jnp.int32), cache, delta, dmask, base, logits,
-          lengths, rng, token_counts, gen_counts, done, out, n_gen)
+    def outer_body(st):
+        (i, cache, logits, lengths, rng, token_counts, gen_counts, done,
+         out, n_gen) = st
+        # fresh window: the inner loop's carry holds only the delta + small
+        # state; the cache is a read-only operand of the inner body
+        delta = llama.init_delta(cfg, b, delta_k)
+        dmask = jnp.zeros((b, delta_k), dtype=bool)
+        base = lengths
+        ist = (i, jnp.zeros((), jnp.int32), delta, dmask, base,
+               logits, lengths, rng, token_counts, gen_counts, done, out,
+               n_gen)
+        ist = jax.lax.while_loop(inner_cond, make_inner_body(cache), ist)
+        (i, _, delta, _, base, logits, lengths, rng, token_counts,
+         gen_counts, done, out, n_gen) = ist
+        cache = llama.commit_delta(cache, delta, base)  # once per window
+        return (i, cache, logits, lengths, rng, token_counts, gen_counts,
+                done, out, n_gen)
 
-    def cond2(st):
-        return (st[0] < limit) & ~jnp.all(st[11])
+    def outer_cond(st):
+        return (st[0] < limit) & ~jnp.all(st[7])
 
-    st = jax.lax.while_loop(cond2, body, st)
-    (i, j, cache, delta, dmask, base, logits, lengths, rng, token_counts,
-     gen_counts, done, out, n_gen) = st
-    cache = llama.commit_delta(cache, delta, base)  # final partial window
-    return (i, cache, logits, lengths, rng, token_counts, gen_counts, done,
-            out, n_gen)
+    st = (i0, cache, logits, lengths, rng, token_counts, gen_counts, done,
+          out, n_gen)
+    return jax.lax.while_loop(outer_cond, outer_body, st)
 
 
 def generate(
