@@ -4,9 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Metric: KV-cached autoregressive decode tokens/s/chip on the flagship
-Llama-3.2-1B SpeechLM (bf16, full 193856 speech vocab, batch 8, on-device
-sampling with top-k/penalties). The whole decode loop is ONE jitted XLA
-program (lax.while_loop) — no per-token host round-trips.
+Llama-3.2-1B SpeechLM (int8 weights, speech-window constrained, batch 128,
+on-device sampling with top-k/penalties). The whole decode loop is ONE
+jitted XLA program (nested delta-KV while_loops: the cache commits once
+per 32 steps instead of per step — the per-step scatter made XLA copy the
+loop-carried cache every iteration, round-4 ablation) — no per-token host
+round-trips.
 
 The reference publishes no benchmark numbers (BASELINE.md), so
 ``vs_baseline`` reports the real-time factor: concurrent real-time TTS
@@ -70,7 +73,7 @@ def main():
     speech_window = (128264, 65544)
     import os
 
-    delta_k = int(os.environ.get("TTS_MAX_DELTA_K", "0")) or None
+    delta_k = int(os.environ.get("TTS_MAX_DELTA_K", "32")) or None
     gen = make_generate_fn(
         cfg, sp, max_new_tokens=decode_steps, eos_id=-1,
         cache_len=prompt_len + decode_steps, vocab_window=speech_window,

@@ -129,6 +129,10 @@ class LocalTtsModel:
                 cache_len=bucket + settings.max_tokens,
                 vocab_window=self._vocab_window(settings),
                 min_new_tokens=settings.min_tokens,
+                # delta-KV stages: commit the cache once per 32 steps
+                # instead of per step (+14% short-form, 3.1x long-form —
+                # BENCHMARKS.md round 4)
+                delta_k=32,
             )
         fn = self._gen_cache[key]
         padded = np.zeros((1, bucket), dtype=np.int32)
