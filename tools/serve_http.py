@@ -453,7 +453,7 @@ def main(argv=None):
     parser.add_argument("--no_staged_cache", action="store_true",
                         help="disable staged (occupancy-sized) dispatches")
     parser.add_argument(
-        "--steps_per_dispatch", type=int, default=16,
+        "--steps_per_dispatch", type=int, default=32,
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "
         "amortizes the ~28ms host round-trip and is required for int4 "
         "weights to run at speed; admission/TTFT granularity is K steps",
