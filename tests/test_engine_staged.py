@@ -190,6 +190,68 @@ def test_delta_kv_matches_conventional(setup, quantized_kv):
         np.testing.assert_array_equal(r, o)
 
 
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_delta_kv_paged_matches_conventional(setup, quantized_kv):
+    """Paged delta-KV (gather the table's span once per dispatch, run the
+    contiguous delta scan, commit through the table) must reproduce the
+    conventional per-step paged scatter engine. fp32 for the same
+    near-tie reason as the contiguous test; prefix caching on so shared
+    blocks are gathered per referencing row and commits provably never
+    touch them."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    prompts, budgets = _mixed_load(rng, 8)
+    # force shared prefixes: a 33-token common prefix (one full 32-block +
+    # a partial) on prompts 0-3 so later admissions hit the cached block
+    shared = rng.integers(3, 60, 33).astype(np.int32)
+    for i in range(4):
+        prompts[i] = np.concatenate([shared, prompts[i]])
+    kw = dict(max_batch=3, max_len=256, block_size=32, sp=_greedy_sp(),
+              steps_per_dispatch=4, min_stage=32,
+              quantized_kv=quantized_kv, enable_prefix_cache=True)
+    ref = PagedInferenceEngine(params, cfg, delta_kv=False, **kw)
+    ref_out = _run(ref, prompts, budgets)
+    eng = PagedInferenceEngine(params, cfg, delta_kv=True, **kw)
+    out = _run(eng, prompts, budgets)
+    for r, o in zip(ref_out, out):
+        np.testing.assert_array_equal(r, o)
+    assert eng.prefix_cache_hits > 0
+
+
+def test_delta_kv_paged_cancel_and_readmission(setup):
+    """Cancel mid-flight under pipelined paged delta dispatches: deferred
+    block frees + the delta commit's sink routing must leave the
+    survivor's tokens identical to a solo run."""
+    cfg, params = setup
+    long_p = np.arange(3, 40, dtype=np.int32)
+    short_p = np.array([7, 8, 9], dtype=np.int32)
+    kw = dict(max_batch=2, max_len=256, block_size=32, sp=_greedy_sp(),
+              steps_per_dispatch=4, min_stage=32, delta_kv=True)
+    eng = PagedInferenceEngine(params, cfg, **kw)
+    rid_long = eng.submit(long_p, 180, eos_id=-1, sampling_seed=0)
+    rid_short = eng.submit(short_p, 60, eos_id=-1, sampling_seed=1)
+    done = []
+    polls = 0
+    while eng.has_work():
+        done.extend(eng.poll())
+        polls += 1
+        if polls == 3:
+            assert eng.cancel(rid_long)
+    by_id = {c.request_id: c for c in done}
+    assert rid_long not in by_id
+    solo = PagedInferenceEngine(params, cfg, max_batch=1, max_len=256,
+                                block_size=32, sp=_greedy_sp(),
+                                steps_per_dispatch=4, min_stage=32,
+                                delta_kv=True)
+    [ref] = solo.generate_all([short_p], 60, eos_id=-1, seed=1)
+    np.testing.assert_array_equal(by_id[rid_short].tokens, ref.tokens)
+
+
 def test_delta_kv_cancel_and_readmission(setup):
     cfg, params = setup
     long_p = np.arange(3, 40, dtype=np.int32)

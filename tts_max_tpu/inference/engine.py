@@ -140,13 +140,16 @@ class InferenceEngine:
         and cuts TTFT p50/p95 (long requests can starve under sustained
         overload; use with a client-side timeout).
 
-        ``delta_kv``: contiguous multi-step dispatches keep the big cache
-        READ-ONLY inside the K-step scan (new rows ride a small delta
-        buffer; one commit scatter per dispatch) — removes the per-step
-        full-cache copy XLA makes for the conventional scatter
-        (_decode_multi_delta). int8-KV note: delta rows are attended
-        unquantized within their dispatch (quantized at commit) — equal
-        or better accuracy, bitwise different from delta_kv=False."""
+        ``delta_kv``: multi-step dispatches keep the big cache READ-ONLY
+        inside the K-step scan (new rows ride a small delta buffer; one
+        commit scatter per dispatch) — removes the per-step full-cache
+        copy XLA makes for the conventional scatter (_decode_multi_delta).
+        Paged engines additionally gather the block table's span of the
+        pool into a contiguous read cache once per dispatch and commit the
+        delta back through the table (llama.commit_delta_paged). int8-KV
+        note: delta rows are attended unquantized within their dispatch
+        (quantized at commit) — equal or better accuracy, bitwise
+        different from delta_kv=False."""
         self._mesh = mesh
         self.params = params
         self.cfg = cfg
@@ -881,11 +884,11 @@ class InferenceEngine:
         from tts_max_tpu.models.quantization import unpack_packed_params
 
         params = unpack_packed_params(params)
-        if table is None and self.delta_kv:
+        if self.delta_kv:
             return self._decode_multi_delta(
                 params, cache, last_logits, lengths, active, token_counts,
                 gen_counts, rngs, bsp, eos_ids, min_tokens, prompt_lens,
-                budgets, stage=stage,
+                budgets, stage=stage, table=table,
             )
         full_cache = None
         if stage is not None and table is None:
@@ -961,8 +964,8 @@ class InferenceEngine:
     def _decode_multi_delta(self, params, cache, last_logits, lengths,
                             active, token_counts, gen_counts, rngs, bsp,
                             eos_ids, min_tokens, prompt_lens, budgets, *,
-                            stage=None):
-        """Delta-KV form of the K-step dispatch (contiguous engines).
+                            stage=None, table=None):
+        """Delta-KV form of the K-step dispatch (contiguous AND paged).
 
         The big cache is READ-ONLY inside the scan — each step's K/V rows
         land in a [L, B, K, Hkv, D] delta buffer and attention runs jointly
@@ -971,16 +974,29 @@ class InferenceEngine:
         the delta back. This removes the full-cache copy XLA makes for the
         per-step scatter (round-4 ablation: the write cost 2.5x the
         attention read at 768 slots), and makes stage slicing free (a pure
-        read fuses; no write-back needed)."""
+        read fuses; no write-back needed).
+
+        Paged engines (``table`` given, stage-sliced by the caller): the
+        table's span of the block pool is gathered ONCE per dispatch into a
+        contiguous [L, B, W*bs, Hkv, D] read cache, the scan runs the exact
+        contiguous delta step against it, and ``commit_delta_paged``
+        scatters the delta back through the table. This replaces the
+        per-step paged pool scatter — which forced XLA to copy the whole
+        pool every step, the bulk of round 3's ~8 ms/step paged premium —
+        with ~2 stage-sized copies per K steps."""
         b = self.max_batch
         kk = self.steps_per_dispatch
         lo = self.vocab_window[0] if self.vocab_window else 0
         head = self._logits_head(params)
         rows = jnp.arange(b)
         base_lengths = lengths
-        read_cache = (
-            self._slice_stage(cache, stage) if stage is not None else cache
-        )
+        if table is not None:
+            read_cache = llama.gather_paged_read_cache(cache, table)
+        else:
+            read_cache = (
+                self._slice_stage(cache, stage) if stage is not None
+                else cache
+            )
         delta = llama.init_delta(self.cfg, b, kk)
         delta_mask = jnp.zeros((b, kk), dtype=bool)
 
@@ -1034,7 +1050,11 @@ class InferenceEngine:
         )
         (delta, delta_mask, last_logits, lengths, active, token_counts,
          gen_counts, rngs) = carry
-        cache = llama.commit_delta(cache, delta, base_lengths)
+        if table is not None:
+            cache = llama.commit_delta_paged(cache, delta, base_lengths,
+                                             table)
+        else:
+            cache = llama.commit_delta(cache, delta, base_lengths)
         packed = jnp.concatenate(
             [toks_k, emitted_k.astype(jnp.int32),
              active.astype(jnp.int32)[None]], axis=0

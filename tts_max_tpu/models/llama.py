@@ -781,6 +781,68 @@ def commit_delta(cache, delta, base_lengths: jnp.ndarray):
     }
 
 
+def gather_paged_read_cache(cache, table):
+    """Materialize a paged pool's per-slot span as a contiguous READ-ONLY
+    cache: pool leaves [L, N, bs, ...] + block table [B, W] -> [L, B, W*bs,
+    ...]. One fused gather per K-step dispatch turns paged delta-KV decode
+    into exactly the contiguous delta path (decode_step_delta) — the round-4
+    fix for the paged engine's per-step pool copy: per-layer gathers inside
+    the decode scan re-read the table every step, while this dispatch-level
+    gather costs ~2 stage-sized copies amortized over K steps. Shared
+    prefix-cache blocks are duplicated per referencing row (reads only)."""
+
+    def leaf(x):
+        g = jnp.take(x, table, axis=1)  # [L, B, W, bs, ...]
+        return g.reshape(
+            x.shape[0], table.shape[0], table.shape[1] * x.shape[2],
+            *x.shape[3:]
+        )
+
+    def entry(e):
+        if isinstance(e, dict):
+            return {"q": leaf(e["q"]), "scale": leaf(e["scale"])}
+        return leaf(e)
+
+    return {"k": entry(cache["k"]), "v": entry(cache["v"])}
+
+
+def commit_delta_paged(cache, delta, base_lengths: jnp.ndarray,
+                       table: jnp.ndarray):
+    """Scatter a dispatch's delta rows into a paged pool through the block
+    table: delta row j of slot b lands at block ``table[b, (base+j)//bs]``
+    offset ``(base+j) % bs``. Same dead-row invariants as the per-step paged
+    write (engine _guard_lengths): active slots stay inside the stage-sliced
+    table by the dispatch margin; rows past a finished slot's allocation
+    route through table entry 0 = the reserved sink block, and the clamped
+    table edge only ever lands in the slot's own dead generated region
+    (prefix-cache hashes cover full PROMPT blocks only, which commits can
+    never reach: positions are >= prompt_len). Quantizes per-row when the
+    pool is int8."""
+    bs = paged_block_size(cache)
+    kk = delta["k"].shape[2]
+    w = table.shape[1]
+    pos = base_lengths[:, None] + jnp.arange(kk)[None, :]  # [B, K]
+    blk = jnp.take_along_axis(
+        table, jnp.clip(pos // bs, 0, w - 1), axis=1
+    )  # [B, K]
+    offs = pos % bs
+
+    def leaf(big, little):
+        # big [L, N, bs, ...]; little [L, B, K, ...]
+        if isinstance(big, dict):
+            lq = _quantize_kv(little)
+            return {
+                "q": big["q"].at[:, blk, offs].set(lq["q"]),
+                "scale": big["scale"].at[:, blk, offs].set(lq["scale"]),
+            }
+        return big.at[:, blk, offs].set(little.astype(big.dtype))
+
+    return {
+        "k": leaf(cache["k"], delta["k"]),
+        "v": leaf(cache["v"], delta["v"]),
+    }
+
+
 def decode_window(
     params: Params,
     cfg: LlamaConfig,
