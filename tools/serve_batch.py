@@ -89,8 +89,10 @@ def main(argv=None):
     parser.add_argument(
         "--engine", choices=["contiguous", "paged"], default="contiguous",
         help="KV layout: 'contiguous' is the measured-fastest mode "
-        "(BENCHMARKS.md serving table); 'paged' (vLLM block pool) admits "
-        "more mixed-length traffic per GB and enables the prefix cache",
+        "(BENCHMARKS.md serving table); 'paged' (vLLM block pool, "
+        "~75%% of contiguous throughput since its delta-KV dispatches) "
+        "admits more mixed-length traffic per GB and enables the "
+        "prefix cache",
     )
     parser.add_argument(
         "--admission_policy", choices=["fifo", "shortest"], default="fifo",
