@@ -560,7 +560,11 @@ class InferenceEngine:
                         gen_counts, rngs, eos_ids, budgets, min_tokens,
                         prompt_lens, bsp)
 
-            self._prefill_cache[key] = jax.jit(fn)
+            # donate the cache: the admission scatter writes a few rows of
+            # a GB-scale buffer, and without donation XLA materializes a
+            # full cache copy per prefill group (warmup() adopts the
+            # outputs so the donated buffer is never reused)
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(1,))
         return self._prefill_cache[key]
 
     def _meta_rows(self, reqs) -> dict:
@@ -734,7 +738,14 @@ class InferenceEngine:
                     for _ in range(g)
                 ]
                 extra = self._warmup_scatter_args(g, bucket)
-                out = fn(
+                # adopt the outputs (the cache is DONATED — the old buffer
+                # is dead after the call): the dummy rows it activates are
+                # harmless, since every admission fully rewrites its slot's
+                # state and the decode warmup below budget-finishes them
+                (self.cache, self.last_logits, self.lengths, self.active,
+                 self.token_counts, self.gen_counts, self.rngs,
+                 self.eos_ids, self.budgets, self.min_tokens,
+                 self.prompt_lens, self.bsp) = fn(
                     self.params, self.cache, tokens, ns, slots, seeds,
                     self._meta_rows(dummies),
                     self.last_logits, self.lengths, self.active,
@@ -742,7 +753,7 @@ class InferenceEngine:
                     self.eos_ids, self.budgets, self.min_tokens,
                     self.prompt_lens, self.bsp, *extra,
                 )
-                np.asarray(out[2])  # fetch a small leaf: forces completion
+                np.asarray(self.lengths)  # fetch a small leaf: completion
         # compile + run the decode program at EVERY stage the staged
         # dispatcher can pick (all-idle pool: harmless, see above) so no
         # serving-time dispatch hits a cold compile
@@ -1503,7 +1514,9 @@ class PagedInferenceEngine(InferenceEngine):
                         gen_counts, rngs, eos_ids, budgets, min_tokens,
                         prompt_lens, bsp)
 
-            self._suffix_prefill_cache[key] = jax.jit(fn)
+            # cache donated for the same reason as _prefill_fn (never
+            # called from warmup, so no discarded-output hazard)
+            self._suffix_prefill_cache[key] = jax.jit(fn, donate_argnums=(1,))
         return self._suffix_prefill_cache[key]
 
     def _admit_suffix(self, slot_idx: int, req: Request) -> None:
