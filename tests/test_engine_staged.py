@@ -170,7 +170,12 @@ def test_delta_kv_matches_conventional(setup, quantized_kv):
     the split cache/delta softmax sums the same logits in a different
     order, and a random tiny model's near-uniform bf16 logits flip greedy
     on last-ulp wobble (int8 KV additionally attends delta rows
-    unquantized within their dispatch)."""
+    unquantized within their dispatch). For quantized_kv=True the two
+    engines thus compute genuinely different logits on rows attended
+    inside a dispatch window — the assert is on greedy TOKENS, which
+    agree because int8 rounding on a handful of rows sits far below this
+    model's logit margins at these pinned seeds. Keep the seeds pinned;
+    exact-logit equality is impossible by construction when quantized."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -197,7 +202,10 @@ def test_delta_kv_paged_matches_conventional(setup, quantized_kv):
     conventional per-step paged scatter engine. fp32 for the same
     near-tie reason as the contiguous test; prefix caching on so shared
     blocks are gathered per referencing row and commits provably never
-    touch them."""
+    touch them. As in the contiguous test, quantized_kv=True compares
+    greedy TOKENS (not logits): delta rows attend unquantized within
+    their dispatch so logits differ by int8 rounding on those rows —
+    below this model's margins at the pinned seed. Keep seeds pinned."""
     import dataclasses
 
     import jax.numpy as jnp

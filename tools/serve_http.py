@@ -443,7 +443,7 @@ def main(argv=None):
         "--engine", choices=["contiguous", "paged"], default="contiguous",
         help="KV layout: 'contiguous' is the measured-fastest mode "
         "(BENCHMARKS.md serving table); 'paged' (vLLM block pool, "
-        "~75%% of contiguous throughput since its delta-KV dispatches) "
+        "~72%% of same-load contiguous throughput with delta-KV dispatches) "
         "admits more mixed-length traffic per GB and enables the "
         "prefix cache",
     )
