@@ -282,3 +282,54 @@ def test_delta_kv_cancel_and_readmission(setup):
                            min_stage=32, delta_kv=True)
     [ref] = solo.generate_all([short_p], 60, eos_id=-1, seed=1)
     np.testing.assert_array_equal(by_id[rid_short].tokens, ref.tokens)
+
+
+def test_persistent_read_cache_matches_gather_mode(setup):
+    """persistent_read_cache=True (round 5: the contiguous mirror kept
+    alive across dispatches) must be bit-exact vs the per-dispatch gather
+    mode — both buffers receive identical writes (prefill scatter + delta
+    commits) and garbage rows are masked by base_lengths. Load includes
+    prefix-cache hits (suffix admissions write the mirror too), finishes
+    and re-admissions (stale mirror rows from a previous occupant must
+    never leak into a successor's attention)."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    prompts, budgets = _mixed_load(rng, 10)
+    shared = rng.integers(3, 60, 40).astype(np.int32)
+    for i in range(5):
+        prompts[i] = np.concatenate([shared, prompts[i]])
+    kw = dict(max_batch=3, max_len=256, block_size=32, sp=_greedy_sp(),
+              steps_per_dispatch=4, min_stage=32,
+              enable_prefix_cache=True, delta_kv=True)
+    ref = PagedInferenceEngine(params, cfg, persistent_read_cache=False,
+                               **kw)
+    assert ref.read_cache is None
+    ref_out = _run(ref, prompts, budgets)
+    eng = PagedInferenceEngine(params, cfg, persistent_read_cache=True,
+                               **kw)
+    assert eng.read_cache is not None
+    out = _run(eng, prompts, budgets)
+    for r, o in zip(ref_out, out):
+        np.testing.assert_array_equal(r, o)
+    assert eng.prefix_cache_hits > 0
+
+
+def test_persistent_read_cache_quantized_kv(setup):
+    """Same mirror-vs-gather equivalence with an int8 KV pool: commits
+    quantize identically into both buffers, so even quantized serving is
+    bit-exact between the modes (this compares the two PAGED modes, not
+    paged vs contiguous)."""
+    cfg, params = setup
+    rng = np.random.default_rng(29)
+    prompts, budgets = _mixed_load(rng, 8)
+    kw = dict(max_batch=3, max_len=256, block_size=32, sp=_greedy_sp(),
+              steps_per_dispatch=4, min_stage=32, quantized_kv=True,
+              delta_kv=True)
+    ref = PagedInferenceEngine(params, cfg, persistent_read_cache=False,
+                               **kw)
+    ref_out = _run(ref, prompts, budgets)
+    eng = PagedInferenceEngine(params, cfg, persistent_read_cache=True,
+                               **kw)
+    out = _run(eng, prompts, budgets)
+    for r, o in zip(ref_out, out):
+        np.testing.assert_array_equal(r, o)

@@ -196,6 +196,10 @@ class InferenceEngine:
         # decode dispatch returns one packed host blob (tokens + emitted +
         # active) instead of three fetches.
         self.cache = self._make_cache()
+        # Paged engines with a persistent read cache keep a contiguous
+        # [L, B, max_len] mirror of every slot's KV alive across dispatches
+        # (None otherwise) — see PagedInferenceEngine.persistent_read_cache.
+        self.read_cache = self._make_read_cache()
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.last_logits = jnp.zeros((max_batch, logits_width), jnp.float32)
         self.active = jnp.zeros((max_batch,), dtype=bool)
@@ -256,9 +260,12 @@ class InferenceEngine:
 
     def _decode_k_jit(self, stage):
         if stage not in self._decode_k_cache:
+            # donate both the pool/cache (1) and the persistent read cache
+            # (2) — each is a GB-scale buffer the dispatch rewrites a few
+            # rows of; an empty/None read cache donates nothing
             self._decode_k_cache[stage] = jax.jit(
                 functools.partial(self._decode_multi, stage=stage),
-                donate_argnums=(1,),
+                donate_argnums=(1, 2),
             )
         return self._decode_k_cache[stage]
 
@@ -325,6 +332,10 @@ class InferenceEngine:
             )
 
         self.cache = {k: shard_kv(v) for k, v in self.cache.items()}
+        if self.read_cache is not None:
+            self.read_cache = {
+                k: shard_kv(v) for k, v in self.read_cache.items()
+            }
         for name in ("lengths", "last_logits", "active", "token_counts",
                      "gen_counts", "rngs", "eos_ids", "budgets",
                      "min_tokens", "prompt_lens"):
@@ -482,6 +493,10 @@ class InferenceEngine:
             self.cfg, self.max_batch, self.max_len, quantized=self.quantized_kv
         )
 
+    def _make_read_cache(self):
+        """Persistent contiguous read cache (paged subclasses only)."""
+        return None
+
     def _can_admit(self, req: Request) -> bool:
         return True
 
@@ -511,10 +526,10 @@ class InferenceEngine:
         key = (bucket, k)
         if key not in self._prefill_cache:
 
-            def fn(params, cache, tokens, ns, slots, seeds, meta_rows,
-                   last_logits, lengths, active, token_counts, gen_counts,
-                   rngs, eos_ids, budgets, min_tokens, prompt_lens, bsp,
-                   *extra):
+            def fn(params, cache, read_cache, tokens, ns, slots, seeds,
+                   meta_rows, last_logits, lengths, active, token_counts,
+                   gen_counts, rngs, eos_ids, budgets, min_tokens,
+                   prompt_lens, bsp, *extra):
                 import dataclasses
 
                 small = llama.init_kv_cache(
@@ -526,6 +541,9 @@ class InferenceEngine:
                 )
                 cache = self._scatter_prefill(
                     cache, small, slots, bucket, *extra
+                )
+                read_cache = self._scatter_read_cache(
+                    read_cache, small, slots, bucket
                 )
                 mask = jnp.arange(bucket)[None, :] < ns[:, None]
                 counts = self._prompt_counts(tokens, mask)
@@ -556,15 +574,16 @@ class InferenceEngine:
                         meta_rows["frequency_penalty"]
                     ),
                 )
-                return (cache, last_logits, lengths, active, token_counts,
-                        gen_counts, rngs, eos_ids, budgets, min_tokens,
-                        prompt_lens, bsp)
+                return (cache, read_cache, last_logits, lengths, active,
+                        token_counts, gen_counts, rngs, eos_ids, budgets,
+                        min_tokens, prompt_lens, bsp)
 
-            # donate the cache: the admission scatter writes a few rows of
-            # a GB-scale buffer, and without donation XLA materializes a
-            # full cache copy per prefill group (warmup() adopts the
-            # outputs so the donated buffer is never reused)
-            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(1,))
+            # donate the cache (and the persistent read cache): the
+            # admission scatter writes a few rows of a GB-scale buffer, and
+            # without donation XLA materializes a full cache copy per
+            # prefill group (warmup() adopts the outputs so the donated
+            # buffer is never reused)
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(1, 2))
         return self._prefill_cache[key]
 
     def _meta_rows(self, reqs) -> dict:
@@ -598,6 +617,19 @@ class InferenceEngine:
                 little.astype(big.dtype)
             ),
             cache, small,
+        )
+
+    def _scatter_read_cache(self, read_cache, small, slots, bucket: int):
+        """Mirror a group prefill's KV rows into the persistent contiguous
+        read cache (paged engines; None passes through for everyone else).
+        Identical writes to the pool scatter keep the mirror bit-exact."""
+        if read_cache is None:
+            return None
+        return jax.tree.map(
+            lambda big, little: big.at[:, slots, :bucket].set(
+                little.astype(big.dtype)
+            ),
+            read_cache, small,
         )
 
     def _prepare_slot(self, slot_idx: int, req: Request) -> dict:
@@ -650,14 +682,15 @@ class InferenceEngine:
         extra = self._group_scatter_args(items, bucket)
         for slot_idx, req, ctx in items:
             self._activate_host(slot_idx, req)  # may flip bsp.use_top_p
-        (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs, self.eos_ids,
-         self.budgets, self.min_tokens, self.prompt_lens,
+        (self.cache, self.read_cache, self.last_logits, self.lengths,
+         self.active, self.token_counts, self.gen_counts, self.rngs,
+         self.eos_ids, self.budgets, self.min_tokens, self.prompt_lens,
          self.bsp) = self._prefill_fn(bucket, k)(
-            self.params, self.cache, padded, ns, slots, seeds, meta,
-            self.last_logits, self.lengths, self.active, self.token_counts,
-            self.gen_counts, self.rngs, self.eos_ids, self.budgets,
-            self.min_tokens, self.prompt_lens, self.bsp, *extra,
+            self.params, self.cache, self.read_cache, padded, ns, slots,
+            seeds, meta, self.last_logits, self.lengths, self.active,
+            self.token_counts, self.gen_counts, self.rngs, self.eos_ids,
+            self.budgets, self.min_tokens, self.prompt_lens, self.bsp,
+            *extra,
         )
         for slot_idx, req, ctx in items:
             self._register_prefix(slot_idx, req, ctx)
@@ -742,12 +775,12 @@ class InferenceEngine:
                 # is dead after the call): the dummy rows it activates are
                 # harmless, since every admission fully rewrites its slot's
                 # state and the decode warmup below budget-finishes them
-                (self.cache, self.last_logits, self.lengths, self.active,
-                 self.token_counts, self.gen_counts, self.rngs,
-                 self.eos_ids, self.budgets, self.min_tokens,
-                 self.prompt_lens, self.bsp) = fn(
-                    self.params, self.cache, tokens, ns, slots, seeds,
-                    self._meta_rows(dummies),
+                (self.cache, self.read_cache, self.last_logits,
+                 self.lengths, self.active, self.token_counts,
+                 self.gen_counts, self.rngs, self.eos_ids, self.budgets,
+                 self.min_tokens, self.prompt_lens, self.bsp) = fn(
+                    self.params, self.cache, self.read_cache, tokens, ns,
+                    slots, seeds, self._meta_rows(dummies),
                     self.last_logits, self.lengths, self.active,
                     self.token_counts, self.gen_counts, self.rngs,
                     self.eos_ids, self.budgets, self.min_tokens,
@@ -870,8 +903,8 @@ class InferenceEngine:
         packed = jnp.stack([toks, active.astype(jnp.int32)])
         return packed, logits, cache, lengths, token_counts, gen_counts, rngs
 
-    def _decode_multi(self, params, cache, last_logits, lengths, active,
-                      token_counts, gen_counts, rngs, bsp, eos_ids,
+    def _decode_multi(self, params, cache, read_cache, last_logits, lengths,
+                      active, token_counts, gen_counts, rngs, bsp, eos_ids,
                       min_tokens, prompt_lens, budgets, table=None, *,
                       stage=None):
         """``steps_per_dispatch`` lockstep decode steps in ONE program.
@@ -897,9 +930,9 @@ class InferenceEngine:
         params = unpack_packed_params(params)
         if self.delta_kv:
             return self._decode_multi_delta(
-                params, cache, last_logits, lengths, active, token_counts,
-                gen_counts, rngs, bsp, eos_ids, min_tokens, prompt_lens,
-                budgets, stage=stage, table=table,
+                params, cache, read_cache, last_logits, lengths, active,
+                token_counts, gen_counts, rngs, bsp, eos_ids, min_tokens,
+                prompt_lens, budgets, stage=stage, table=table,
             )
         full_cache = None
         if stage is not None and table is None:
@@ -970,11 +1003,13 @@ class InferenceEngine:
             [toks_k, emitted_k.astype(jnp.int32),
              carry[3].astype(jnp.int32)[None]], axis=0
         )
-        return carry + (packed,)
+        # non-delta paths never read the persistent read cache; pass it
+        # through untouched (stale is fine — only delta dispatches read it)
+        return (carry[0], read_cache) + carry[1:] + (packed,)
 
-    def _decode_multi_delta(self, params, cache, last_logits, lengths,
-                            active, token_counts, gen_counts, rngs, bsp,
-                            eos_ids, min_tokens, prompt_lens, budgets, *,
+    def _decode_multi_delta(self, params, cache, read_cache, last_logits,
+                            lengths, active, token_counts, gen_counts, rngs,
+                            bsp, eos_ids, min_tokens, prompt_lens, budgets, *,
                             stage=None, table=None):
         """Delta-KV form of the K-step dispatch (contiguous AND paged).
 
@@ -994,7 +1029,19 @@ class InferenceEngine:
         scatters the delta back through the table. This replaces the
         per-step paged pool scatter — which forced XLA to copy the whole
         pool every step, the bulk of round 3's ~8 ms/step paged premium —
-        with ~2 stage-sized copies per K steps."""
+        with ~2 stage-sized copies per K steps.
+
+        Paged engines with ``read_cache`` (persistent_read_cache=True, the
+        round-5 default): the per-dispatch gather above is eliminated
+        entirely — the engine keeps a contiguous [L, B, max_len] mirror of
+        every slot's KV alive ACROSS dispatches, refreshed by the same
+        cheap row-sized writes that maintain the pool (prefill scatters
+        write both; each dispatch's delta commits to both). The scan reads
+        a pure stage slice of the mirror (free, fuses) exactly like the
+        contiguous engine, so the paged decode step costs what contiguous
+        costs plus one row-sized paged commit per dispatch. Bit-exact vs
+        the gather mode: both buffers receive identical writes and garbage
+        rows are masked by base_lengths. Cost: B×max_len extra KV HBM."""
         b = self.max_batch
         kk = self.steps_per_dispatch
         lo = self.vocab_window[0] if self.vocab_window else 0
@@ -1002,9 +1049,17 @@ class InferenceEngine:
         rows = jnp.arange(b)
         base_lengths = lengths
         if table is not None:
-            read_cache = llama.gather_paged_read_cache(cache, table)
+            if read_cache is not None:
+                limit = table.shape[1] * llama.paged_block_size(cache)
+                read = (
+                    self._slice_stage(read_cache, limit)
+                    if limit < llama.cache_max_len(read_cache)
+                    else read_cache
+                )
+            else:
+                read = llama.gather_paged_read_cache(cache, table)
         else:
-            read_cache = (
+            read = (
                 self._slice_stage(cache, stage) if stage is not None
                 else cache
             )
@@ -1044,8 +1099,8 @@ class InferenceEngine:
             # stagnant length (masked out of attention; commit lands in
             # their dead region)
             logits, delta = llama.decode_step_delta(
-                params, self.cfg, read_cache, delta, toks,
-                jnp.minimum(lengths, llama.cache_max_len(read_cache) - 1),
+                params, self.cfg, read, delta, toks,
+                jnp.minimum(lengths, llama.cache_max_len(read) - 1),
                 base_lengths, delta_mask, j, logits_head=head,
             )
             lengths = lengths + inc
@@ -1064,14 +1119,18 @@ class InferenceEngine:
         if table is not None:
             cache = llama.commit_delta_paged(cache, delta, base_lengths,
                                              table)
+            if read_cache is not None:
+                read_cache = llama.commit_delta(
+                    read_cache, delta, base_lengths
+                )
         else:
             cache = llama.commit_delta(cache, delta, base_lengths)
         packed = jnp.concatenate(
             [toks_k, emitted_k.astype(jnp.int32),
              active.astype(jnp.int32)[None]], axis=0
         )
-        return (cache, last_logits, lengths, active, token_counts,
-                gen_counts, rngs, packed)
+        return (cache, read_cache, last_logits, lengths, active,
+                token_counts, gen_counts, rngs, packed)
 
     def _finish_token(self, slot_idx: int, tok: int) -> bool:
         """Append ``tok`` to the slot; finalize the completion if it ends the
@@ -1109,13 +1168,13 @@ class InferenceEngine:
             s.request.request_id if s.request is not None else None
             for s in self._slots
         ]
-        (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs,
+        (self.cache, self.read_cache, self.last_logits, self.lengths,
+         self.active, self.token_counts, self.gen_counts, self.rngs,
          packed) = self._decode_k_jit(stage)(
-            self.params, self.cache, self.last_logits, self.lengths,
-            self.active, self.token_counts, self.gen_counts, self.rngs,
-            self.bsp, self.eos_ids, self.min_tokens, self.prompt_lens,
-            self.budgets, self._table_device(stage),
+            self.params, self.cache, self.read_cache, self.last_logits,
+            self.lengths, self.active, self.token_counts, self.gen_counts,
+            self.rngs, self.bsp, self.eos_ids, self.min_tokens,
+            self.prompt_lens, self.budgets, self._table_device(stage),
         )
         return packed, snapshot
 
@@ -1227,9 +1286,21 @@ class PagedInferenceEngine(InferenceEngine):
         min_stage: int = 256,
         admission_policy: str = "fifo",
         delta_kv: bool = True,
+        persistent_read_cache: bool = True,
     ):
+        """``persistent_read_cache`` (delta-KV dispatches only): keep a
+        contiguous [L, B, max_len] mirror of every slot's KV alive across
+        dispatches instead of re-gathering the block table's span of the
+        pool every K steps. The mirror is maintained by the same row-sized
+        writes as the pool (prefill + delta commits), so decode dispatches
+        run the exact contiguous delta program — this closes most of the
+        paged engine's throughput gap vs contiguous at the cost of
+        B×max_len extra KV HBM (the pool stays authoritative: prefix
+        caching, cancel, and block accounting are unchanged). Disable to
+        trade that HBM back for the per-dispatch gather."""
         if max_len % block_size:
             raise ValueError("max_len must be a multiple of block_size")
+        self.persistent_read_cache = persistent_read_cache
         self.block_size = block_size
         # +1: block 0 is the reserved write sink (below), so default sizing
         # still fits max_batch full-length requests
@@ -1276,6 +1347,17 @@ class PagedInferenceEngine(InferenceEngine):
     def _make_cache(self):
         return llama.init_paged_kv_cache(
             self.cfg, self.num_blocks, self.block_size,
+            quantized=self.quantized_kv,
+        )
+
+    def _make_read_cache(self):
+        # only delta-KV multi-step dispatches ever read the mirror; skip
+        # the allocation otherwise (self.delta_kv is already normalized to
+        # require steps_per_dispatch > 1 by the base __init__)
+        if not (self.persistent_read_cache and self.delta_kv):
+            return None
+        return llama.init_kv_cache(
+            self.cfg, self.max_batch, self.max_len,
             quantized=self.quantized_kv,
         )
 
@@ -1459,10 +1541,11 @@ class PagedInferenceEngine(InferenceEngine):
         if key not in self._suffix_prefill_cache:
             prefix_len = m * self.block_size
 
-            def fn(params, cache, prompt_tokens, length, suffix_tokens,
-                   suffix_len, prefix_blocks, new_blocks, slot, seed, meta,
-                   last_logits, lengths, active, token_counts, gen_counts,
-                   rngs, eos_ids, budgets, min_tokens, prompt_lens, bsp):
+            def fn(params, cache, read_cache, prompt_tokens, length,
+                   suffix_tokens, suffix_len, prefix_blocks, new_blocks,
+                   slot, seed, meta, last_logits, lengths, active,
+                   token_counts, gen_counts, rngs, eos_ids, budgets,
+                   min_tokens, prompt_lens, bsp):
                 import dataclasses
 
                 small = llama.gather_blocks_to_cache(cache, prefix_blocks)
@@ -1475,6 +1558,16 @@ class PagedInferenceEngine(InferenceEngine):
                 cache = llama.scatter_suffix_to_blocks(
                     cache, small, new_blocks, prefix_len
                 )
+                if read_cache is not None:
+                    # mirror the slot's FULL prompt KV (gathered prefix +
+                    # fresh suffix) into the persistent contiguous cache
+                    def upd(big, little):
+                        start = (0, slot, 0) + (0,) * (big.ndim - 3)
+                        return jax.lax.dynamic_update_slice(
+                            big, little.astype(big.dtype), start
+                        )
+
+                    read_cache = jax.tree.map(upd, read_cache, small)
                 last = jnp.take_along_axis(
                     logits, (suffix_len - 1)[:, None, None], axis=1
                 )[:, 0]
@@ -1510,13 +1603,15 @@ class PagedInferenceEngine(InferenceEngine):
                         meta["frequency_penalty"]
                     ),
                 )
-                return (cache, last_logits, lengths, active, token_counts,
-                        gen_counts, rngs, eos_ids, budgets, min_tokens,
-                        prompt_lens, bsp)
+                return (cache, read_cache, last_logits, lengths, active,
+                        token_counts, gen_counts, rngs, eos_ids, budgets,
+                        min_tokens, prompt_lens, bsp)
 
-            # cache donated for the same reason as _prefill_fn (never
-            # called from warmup, so no discarded-output hazard)
-            self._suffix_prefill_cache[key] = jax.jit(fn, donate_argnums=(1,))
+            # cache + read cache donated for the same reason as _prefill_fn
+            # (never called from warmup, so no discarded-output hazard)
+            self._suffix_prefill_cache[key] = jax.jit(
+                fn, donate_argnums=(1, 2)
+            )
         return self._suffix_prefill_cache[key]
 
     def _admit_suffix(self, slot_idx: int, req: Request) -> None:
@@ -1528,12 +1623,14 @@ class PagedInferenceEngine(InferenceEngine):
         padded[0, :n] = req.prompt_tokens
         suffix_bucket = bucket - m * bs
         self._activate_host(slot_idx, req)  # may flip bsp.use_top_p
-        (self.cache, self.last_logits, self.lengths, self.active,
-         self.token_counts, self.gen_counts, self.rngs, self.eos_ids,
-         self.budgets, self.min_tokens, self.prompt_lens, self.bsp) = (
+        (self.cache, self.read_cache, self.last_logits, self.lengths,
+         self.active, self.token_counts, self.gen_counts, self.rngs,
+         self.eos_ids, self.budgets, self.min_tokens, self.prompt_lens,
+         self.bsp) = (
             self._suffix_prefill_fn(m, bucket, suffix_bucket)(
                 self.params,
                 self.cache,
+                self.read_cache,
                 padded,
                 np.asarray([n], np.int32),
                 padded[:, m * bs : bucket],

@@ -7,6 +7,15 @@ the SAME mesh time-multiplexes sampling (the jitted while_loop generator)
 and training (a jitted GRPO step). Weight "sync" is passing the updated
 params pytree to the sampler — a no-op device-side.
 
+Pod-scale alternative (``topology=``): a
+:class:`~tts_max_tpu.training.rlhf.topology.TrainerSamplerTopology` splits
+the device set into a trainer sub-mesh (FSDP/DP-sharded update) and a
+sampler sub-mesh (TP serving). The weight sync then becomes an explicit
+cross-mesh reshard (``push_to_sampler`` — the reference's NCCL weight
+broadcast) before every rollout round, and ``rollout_via_engine=True``
+generates through the continuous-batching serving engine on the sampler
+mesh (the vLLM-server role) instead of the one-shot generate program.
+
 Objective (GRPO, group-relative advantages, TRL num_iterations=1 semantics):
   adv_i = (r_i - mean_group) [/ std_group if scale_rewards]
   L = -E_tokens[ exp(logp - sg(logp)) · adv ] + β · KL_k3(policy ‖ ref)
@@ -167,7 +176,20 @@ class GRPOTrainer:
         reward_weights: Sequence[float] | None = None,
         scale_rewards: bool = True,
         seed: int = 0,
+        topology: "Any | None" = None,
+        rollout_via_engine: bool = False,
+        engine_max_batch: int = 8,
     ):
+        self.topology = topology
+        self._rollout_via_engine = rollout_via_engine
+        self._engine_max_batch = engine_max_batch
+        self._engine = None
+        self._sampler_params = None
+        if topology is not None:
+            # trainer sub-mesh placement: the GRPO update's grad/optimizer
+            # collectives come from these shardings (GSPMD), exactly like
+            # the SFT train step
+            params = topology.shard_for_trainer(params)
         self.params = params
         self.cfg = model_cfg
         self.tokenizer = tokenizer
@@ -183,7 +205,13 @@ class GRPOTrainer:
         # is 10 GB at 1B and OOMs a 16 GB chip next to params + grads)
         self.tx = optax.adamw(learning_rate, b1=0.9, b2=0.95,
                               weight_decay=0.1, mu_dtype=jnp.bfloat16)
-        self.opt_state = self.tx.init(params)
+        if topology is not None:
+            # init under the trainer mesh so the optimizer state adopts the
+            # params' FSDP shardings (GSPMD propagates through tx.init)
+            with topology.trainer_mesh:
+                self.opt_state = jax.jit(self.tx.init)(params)
+        else:
+            self.opt_state = self.tx.init(params)
         self.beta = rlhf_cfg.kl_beta
         self.ref_params = (
             jax.tree_util.tree_map(jnp.copy, params) if self.beta > 0 else None
@@ -202,6 +230,10 @@ class GRPOTrainer:
         self._sp = sp
         self._rng = jax.random.PRNGKey(seed)
         self.step = 0
+        if topology is not None:
+            # initial weight push (the reference broadcasts the starting
+            # policy to the vLLM server before the first rollout)
+            self._sampler_params = topology.push_to_sampler(self.params)
 
     def _generate_fn(self, bucket: int):
         if bucket not in self._gen_cache:
@@ -217,6 +249,64 @@ class GRPOTrainer:
                 ),
             )
         return self._gen_cache[bucket]
+
+    def _ensure_engine(self):
+        """Lazily build the sampler-side serving engine (the vLLM role).
+        Its params attribute is swapped on every weight push — shapes and
+        shardings are stable, so the engine's cached jits never recompile."""
+        if self._engine is None:
+            from tts_max_tpu.inference.engine import InferenceEngine
+
+            max_len = self.rlhf.max_prompt_length + \
+                self.rlhf.max_completion_length
+            max_len = ((max_len + 63) // 64) * 64
+            params = (
+                self._sampler_params if self.topology is not None
+                else self.params
+            )
+            self._engine = InferenceEngine(
+                params, self.cfg,
+                max_batch=self._engine_max_batch,
+                max_len=max_len,
+                sp=self._sp,
+                steps_per_dispatch=4,
+                mesh=self.topology.sampler_mesh
+                if self.topology is not None else None,
+                vocab_window=(
+                    self.sv.generation_window()
+                    if getattr(self.rlhf, "constrain_to_speech", False)
+                    else None
+                ),
+            )
+        return self._engine
+
+    def _engine_rollout(self, enc: list[np.ndarray], G: int, key):
+        """Generate G completions per prompt through the continuous-batching
+        engine (greedy-identical to the one-shot generate program; sampled
+        rollouts draw from per-request seeded streams instead of the batch
+        key). Returns (completions [B, max_completion_length], n_gen [B])."""
+        eng = self._ensure_engine()
+        B = len(enc) * G
+        seeds = np.asarray(
+            jax.random.randint(key, (B,), 0, np.iinfo(np.int32).max)
+        )
+        ids = []
+        for e in enc:
+            for _ in range(G):
+                ids.append(eng.submit(
+                    e, self.rlhf.max_completion_length,
+                    eos_id=self.sv.speech_end_id,
+                    sampling_seed=int(seeds[len(ids)]),
+                ))
+        by_id = {c.request_id: c for c in eng.run()}
+        comps = [by_id[r].tokens for r in ids]
+        n_gen = np.asarray([len(c) for c in comps], dtype=np.int32)
+        completions = np.zeros(
+            (B, self.rlhf.max_completion_length), dtype=np.int32
+        )
+        for b, c in enumerate(comps):
+            completions[b, : len(c)] = c
+        return completions, n_gen
 
     def rollout(self, prompts: list[dict]) -> tuple[GRPOBatch, dict]:
         """Generate G completions per prompt, score, build the train batch."""
@@ -239,12 +329,26 @@ class GRPOTrainer:
                 prompt_lengths[i * G + g] = len(e)
 
         self._rng, k = jax.random.split(self._rng)
-        res = self._generate_fn(bucket)(
-            self.params, jnp.asarray(prompt_tokens),
-            jnp.asarray(prompt_lengths), k,
-        )
-        completions = np.asarray(res.tokens)
-        n_gen = np.asarray(res.num_generated)
+        if self._rollout_via_engine:
+            completions, n_gen = self._engine_rollout(enc, G, k)
+        else:
+            gen_params = (
+                self._sampler_params if self.topology is not None
+                else self.params
+            )
+            if self.topology is not None:
+                with self.topology.sampler_mesh:
+                    res = self._generate_fn(bucket)(
+                        gen_params, jnp.asarray(prompt_tokens),
+                        jnp.asarray(prompt_lengths), k,
+                    )
+            else:
+                res = self._generate_fn(bucket)(
+                    gen_params, jnp.asarray(prompt_tokens),
+                    jnp.asarray(prompt_lengths), k,
+                )
+            completions = np.asarray(res.tokens)
+            n_gen = np.asarray(res.num_generated)
 
         # rewards (host-side)
         kwargs = {
@@ -292,17 +396,34 @@ class GRPOTrainer:
         return batch, stats
 
     def train_step(self, prompts: list[dict]) -> dict:
+        if self.topology is not None and self.step > 0:
+            # weight push between rollout rounds — the reference's NCCL
+            # broadcast to the vLLM server (run_rlhf_combine.sh:45-61):
+            # cross-mesh reshard trainer FSDP shards -> sampler TP shards
+            self._sampler_params = self.topology.push_to_sampler(self.params)
+            if self._engine is not None:
+                self._engine.params = self._sampler_params
         batch, stats = self.rollout(prompts)
-        ref_logps = (
-            self._logps_fn(self.ref_params, tokens=jnp.asarray(batch.tokens))
-            if self.beta > 0
-            else None
+        import contextlib
+
+        mesh_ctx = (
+            self.topology.trainer_mesh if self.topology is not None
+            else contextlib.nullcontext()
         )
-        self.params, self.opt_state, m = self._step_fn(
-            self.params, self.opt_state, jnp.asarray(batch.tokens),
-            jnp.asarray(batch.completion_mask), jnp.asarray(batch.advantages),
-            ref_logps,
-        )
+        with mesh_ctx:
+            ref_logps = (
+                self._logps_fn(
+                    self.ref_params, tokens=jnp.asarray(batch.tokens)
+                )
+                if self.beta > 0
+                else None
+            )
+            self.params, self.opt_state, m = self._step_fn(
+                self.params, self.opt_state, jnp.asarray(batch.tokens),
+                jnp.asarray(batch.completion_mask),
+                jnp.asarray(batch.advantages),
+                ref_logps,
+            )
         self.step += 1
         stats.update(
             loss=float(m.loss), mean_logp=float(m.mean_logp),

@@ -124,10 +124,24 @@ def run_training(config: ExperimentConfig, args) -> None:
         backends=backends,
     )
 
+    topology = None
+    if getattr(args, "sampler_devices", 0) > 0:
+        from tts_max_tpu.training.rlhf.topology import TrainerSamplerTopology
+
+        topology = TrainerSamplerTopology.create(
+            n_sampler=args.sampler_devices
+        )
+        log.info(
+            "Multi-mesh RLHF: trainer mesh %s, sampler mesh %s",
+            dict(topology.trainer_mesh.shape),
+            dict(topology.sampler_mesh.shape),
+        )
     trainer = GRPOTrainer(
         params, model_cfg, tokenizer, sv, reward_funcs, config.rlhf,
         learning_rate=config.training.learning_rate,
         seed=config.training.seed,
+        topology=topology,
+        rollout_via_engine=getattr(args, "rollout_via_engine", False),
     )
     os.makedirs(config.output_dir, exist_ok=True)
     save_config(config.output_dir, config)
@@ -198,6 +212,21 @@ def main(argv=None):
         default=os.environ.get("ECAPA_CHECKPOINT", ""),
         help="UniSpeech ECAPA_TDNN_SMALL torch checkpoint (with the trained "
         "WavLM layer weights) for the similarity reward.",
+    )
+    parser.add_argument(
+        "--sampler_devices", type=int, default=0,
+        help="Split the device set: the LAST N devices become a "
+        "tensor-parallel sampler sub-mesh running the serving engine, the "
+        "rest an FSDP trainer sub-mesh; updated weights are resharded "
+        "(device-to-device over ICI) to the sampler between rollout rounds "
+        "— the reference's 2-node accelerate + vLLM-server topology "
+        "(run_rlhf_combine.sh). 0 (default) = single-mesh time-multiplexed.",
+    )
+    parser.add_argument(
+        "--rollout_via_engine", action="store_true",
+        help="Generate rollouts through the continuous-batching serving "
+        "engine instead of the one-shot generate program (default with a "
+        "single mesh: generate program).",
     )
     parser.add_argument("--total_steps", type=int, default=100)
     args = parser.parse_args(argv)
