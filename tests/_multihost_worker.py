@@ -92,6 +92,116 @@ def main() -> None:
     # Identical loss on every process proves the batch/grads were global.
     print(f"MULTIHOST_OK rank={env.global_rank} loss={loss:.6f}", flush=True)
 
+    _gan_step(mesh, env)
+    _grpo_step(mesh, env)
+    _engine_tp(env)
+
+
+def _gan_step(mesh, env) -> None:
+    """DP codec GAN step across both processes (VERDICT r4 weak #7): the
+    same global batch on every process, grad psum crossing the process
+    boundary, identical losses out."""
+    from tts_max_tpu.core.config import CodecTrainingConfig
+    from tts_max_tpu.models.codec import discriminator as disc, vocos
+    from tts_max_tpu.training.codec import gan
+
+    vocos_cfg = vocos.tiny_vocos_config()
+    mpd_cfg = disc.tiny_mpd_config()
+    msd_cfg = disc.tiny_msd_config()
+    gen_params = vocos.init_decoder(jax.random.PRNGKey(0), vocos_cfg)
+    disc_params = {
+        "mpd": disc.init_mpd(jax.random.PRNGKey(1), mpd_cfg),
+        "msd": disc.init_msd(jax.random.PRNGKey(2), msd_cfg),
+    }
+    ccfg = CodecTrainingConfig(code_window_size=8)
+    gen_trainable, gen_frozen = gan.split_generator_params(gen_params)
+    gen_tx, disc_tx = gan.create_gan_optimizers(ccfg)
+    step = gan.make_gan_step(vocos_cfg, mpd_cfg, msd_cfg, ccfg, gen_frozen,
+                             gen_tx, disc_tx, mesh=mesh)
+    rng = np.random.default_rng(7)  # SAME seed on every process: the GAN
+    # step device_puts the (identical) global batch to the data sharding
+    batch = {
+        "audio_codes": rng.integers(0, 65536, (8, 8)).astype(np.int32),
+        "wav": 0.1 * rng.standard_normal((8, 8 * 320)).astype(np.float32),
+    }
+    gt, dp, _, _, m = step(gen_trainable, disc_params,
+                           gen_tx.init(gen_trainable),
+                           disc_tx.init(disc_params), batch)
+    jax.block_until_ready(gt)
+    print(
+        f"MULTIHOST_GAN rank={env.global_rank} "
+        f"gen={float(m.gen_loss):.6f} disc={float(m.disc_loss):.6f}",
+        flush=True,
+    )
+
+
+def _grpo_step(mesh, env) -> None:
+    """GRPO update with mesh-sharded params across both processes."""
+    from tts_max_tpu.models import llama
+    from tts_max_tpu.parallel.sharding import params_shardings
+    from tts_max_tpu.training import optim
+    from tts_max_tpu.training.rlhf import grpo
+
+    cfg = llama.tiny_config(vocab_size=128, max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    p_sh = params_shardings(params, mesh)
+    params = jax.device_put(params, p_sh)
+    tx = optim.create_optimizer(1e-5)
+    step = grpo.make_grpo_step(cfg, tx, beta=0.04)
+    rng = np.random.default_rng(11)  # same values on every process
+    tokens = rng.integers(3, 128, (4, 24)).astype(np.int32)
+    mask = np.ones((4, 24), np.float32)
+    mask[:, :6] = 0.0
+    adv = rng.normal(size=(4,)).astype(np.float32)
+    ref_logps = np.zeros((4, 23), np.float32)
+    import jax.numpy as jnp
+
+    with mesh:
+        opt_state = jax.jit(tx.init)(params)
+        new_p, _, m = step(params, opt_state, jnp.asarray(tokens),
+                           jnp.asarray(mask), jnp.asarray(adv),
+                           jnp.asarray(ref_logps))
+    jax.block_until_ready(new_p)
+    print(
+        f"MULTIHOST_GRPO rank={env.global_rank} loss={float(m.loss):.6f}",
+        flush=True,
+    )
+
+
+def _engine_tp(env) -> None:
+    """Continuous-batching serving engine TP-sharded over the 2-process
+    mesh: the host serving loop runs identically on every process (SPMD
+    host pattern — same submissions, same seeds, replicated blob fetch),
+    so both report the same greedy tokens."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tts_max_tpu.inference.engine import InferenceEngine
+    from tts_max_tpu.models import llama
+    from tts_max_tpu.ops.sampling import SamplingParams
+    from tts_max_tpu.parallel.sharding import params_shardings
+
+    mesh = pmesh.build_mesh(
+        MeshConfig(data=1, fsdp=1, tensor=jax.device_count())
+    )
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=128, max_seq_len=64),
+        dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    sharded = jax.device_put(params, params_shardings(params, mesh))
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    prompts = [np.array([5, 9, 42], np.int32),
+               np.arange(3, 20, dtype=np.int32)]
+    with mesh:
+        eng = InferenceEngine(sharded, cfg, max_batch=2, max_len=64, sp=sp,
+                              steps_per_dispatch=4, mesh=mesh)
+        out = eng.generate_all(prompts, max_new_tokens=6, eos_id=-1)
+    toks = ",".join("-".join(map(str, c.tokens)) for c in out)
+    print(f"MULTIHOST_ENGINE rank={env.global_rank} toks={toks}", flush=True)
+
 
 if __name__ == "__main__":
     main()

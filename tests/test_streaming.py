@@ -95,3 +95,37 @@ def test_streaming_decoder_history_conditions_but_never_emits(decoder):
     a, b = out[len(out) // 2:], full[len(full) // 2:]
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.95, corr
+
+
+def test_first_audio_before_completion(decoder):
+    """TTFA property (round 5): the first audio chunk must be yielded
+    while the streaming request is still generating — time-to-first-audio
+    follows the chunk size, not the utterance length."""
+    tok = tokenization.build_byte_tokenizer()
+    sv = tokenization.speech_vocab(tok)
+    cfg = llama.tiny_config(vocab_size=len(tok), max_seq_len=512)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        params, cfg, max_batch=1, max_len=256, steps_per_dispatch=4,
+        min_stage=32,
+        sp=SamplingParams(temperature=0.8, top_k=50),
+        vocab_window=sv.generation_window(),  # all-speech generation
+    )
+    synth = StreamingSynthesizer(engine, tok, sv, decoder,
+                                 chunk_codes=5, context_codes=10)
+    lo, _ = sv.generation_window()
+    prompt_ids = np.arange(lo, lo + 8, dtype=np.int32)
+    it = synth.stream("", max_new_tokens=120, seed=3, input_ids=prompt_ids)
+    first = next(it)
+    # the request is still mid-generation when the first chunk lands
+    assert engine.has_work()
+    active = [s for s in engine._slots if s.request is not None]
+    assert active and len(active[0].generated) < 120
+    assert len(first) > 0 and len(first) % 320 == 0
+    rest = list(it)
+    # a pipelined in-flight dispatch may remain (the synthesizer must not
+    # drain a shared engine); the owner's serving loop clears it
+    while engine.has_work():
+        engine.poll()
+    total = len(first) + sum(len(c) for c in rest)
+    assert total % 320 == 0

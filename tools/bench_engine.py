@@ -83,6 +83,14 @@ def run_load(engine, prompts, budgets, seed=0, pipeline=True):
             admit_t.setdefault(c.request_id, now)
             first_t.setdefault(c.request_id, now)
             n_tokens += len(c.tokens)
+    # the engine's own first-token timestamps are authoritative (parked
+    # prefill emits first tokens BEFORE a slot exists; poll-granularity
+    # slot scans above remain the fallback)
+    for rid, t in getattr(engine, "first_token_times", {}).items():
+        if rid in first_t:
+            first_t[rid] = min(first_t[rid], t)
+        else:
+            first_t[rid] = t
     wall = time.perf_counter() - t0
     ttft = [first_t[r] - submit_t[r] for r in ids if r in first_t]
     lat = [done_t[r] - submit_t[r] for r in ids if r in done_t]
@@ -122,6 +130,18 @@ def main():
                     help="disable staged (occupancy-sized) dispatches")
     ap.add_argument("--min-stage", type=int, default=256)
     ap.add_argument("--policy", choices=["fifo", "shortest"], default="fifo")
+    ap.add_argument("--prefill-ahead", action="store_true",
+                    help="park queued requests' prefills ahead of slot "
+                         "availability and emit first tokens immediately")
+    ap.add_argument("--park-rows", type=int, default=0,
+                    help="park buffer rows (0 = max_batch)")
+    ap.add_argument("--park-len", type=int, default=0,
+                    help="park buffer token capacity (0 = min(512, max_len))")
+    ap.add_argument("--no-delta", action="store_true",
+                    help="disable delta-KV dispatches")
+    ap.add_argument("--no-persistent-read-cache", action="store_true",
+                    help="paged: re-gather the pool span per dispatch "
+                         "instead of the persistent contiguous mirror")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -153,13 +173,17 @@ def main():
         quantized_kv=args.kv == "int8", vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch,
         staged_cache=not args.no_staged, min_stage=args.min_stage,
-        admission_policy=args.policy,
+        admission_policy=args.policy, delta_kv=not args.no_delta,
+        prefill_ahead=args.prefill_ahead,
+        park_rows=args.park_rows or None,
+        park_len=args.park_len or None,
     )
     if args.contiguous:
         engine = InferenceEngine(params, cfg, **kw)
     else:
         engine = PagedInferenceEngine(
-            params, cfg, block_size=args.block_size, **kw
+            params, cfg, block_size=args.block_size,
+            persistent_read_cache=not args.no_persistent_read_cache, **kw
         )
 
     # Mixed-length load: prompts at the 64/128/256 buckets, budgets 50-100%

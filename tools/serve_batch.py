@@ -95,6 +95,13 @@ def main(argv=None):
         "prefix cache",
     )
     parser.add_argument(
+        "--prefill_ahead", action="store_true",
+        help="under saturation, prefill queued requests ahead of "
+        "slot availability (park buffer) and emit their first token "
+        "immediately — cuts TTFT; costs park-buffer HBM "
+        "(BENCHMARKS.md round-5 serving rows)",
+    )
+    parser.add_argument(
         "--admission_policy", choices=["fifo", "shortest"], default="fifo",
         help="'shortest' = shortest-job-first admission (better TTFT "
         "under saturation; long requests can starve under overload)",
@@ -134,6 +141,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch,
         staged_cache=not args.no_staged_cache,
         admission_policy=args.admission_policy,
+        prefill_ahead=args.prefill_ahead,
     )
     dev_params = jax.tree_util.tree_map(jnp.asarray, params)
     if args.engine == "paged":

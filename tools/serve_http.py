@@ -400,6 +400,7 @@ def build_server(args) -> TtsServer:
         steps_per_dispatch=args.steps_per_dispatch,
         staged_cache=not getattr(args, "no_staged_cache", False),
         admission_policy=getattr(args, "admission_policy", "fifo"),
+        prefill_ahead=getattr(args, "prefill_ahead", False),
     )
     if getattr(args, "engine", "contiguous") == "paged":
         engine = PagedInferenceEngine(
@@ -446,6 +447,13 @@ def main(argv=None):
         "~72%% of same-load contiguous throughput with delta-KV dispatches) "
         "admits more mixed-length traffic per GB and enables the "
         "prefix cache",
+    )
+    parser.add_argument(
+        "--prefill_ahead", action="store_true",
+        help="under saturation, prefill queued requests ahead of "
+        "slot availability (park buffer) and emit their first token "
+        "immediately — cuts TTFT; costs park-buffer HBM "
+        "(BENCHMARKS.md round-5 serving rows)",
     )
     parser.add_argument(
         "--admission_policy", choices=["fifo", "shortest"], default="fifo",

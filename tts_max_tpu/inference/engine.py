@@ -45,6 +45,7 @@ import collections
 import functools
 import hashlib
 import itertools
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -82,6 +83,21 @@ class Completion:
 class _Slot:
     request: Request | None = None
     generated: list[int] = field(default_factory=list)
+    # attach-from-park: the first generated token was already emitted at
+    # park time (preview-sampled); the next matching blob row re-delivers
+    # the same token and must be consumed without appending.
+    skip_preview: bool = False
+
+
+@dataclass
+class _Parked:
+    """A request whose prompt was prefilled ahead of slot availability:
+    its KV lives in park row ``row`` and its first token is already
+    emitted (prefill_ahead — see InferenceEngine.__init__)."""
+
+    row: int
+    request: Request
+    first_token: int
 
 
 def _bucket(n: int, step: int = 64) -> int:
@@ -108,8 +124,24 @@ class InferenceEngine:
         min_stage: int = 256,
         admission_policy: str = "fifo",
         delta_kv: bool = True,
+        prefill_ahead: bool = False,
+        park_rows: int | None = None,
+        park_len: int | None = None,
     ):
-        """``mesh``: a jax.sharding.Mesh for tensor-parallel serving (the
+        """``prefill_ahead``: when the pool is saturated, prefill queued
+        requests AHEAD of slot availability into a separate park buffer
+        ([L, park_rows, park_len] contiguous KV) and emit their first
+        token immediately — preview-sampled with exactly the inputs the
+        decode's first step will see (same seeded key split, same prompt
+        counts, same logits), so the decode deterministically re-derives
+        it and the host consumes the duplicate. When a slot frees, the
+        parked KV ATTACHES with a row-sized copy (no recompute). TTFT
+        under saturation then follows prefill latency instead of
+        slot-wait (round-5 item; measured in BENCHMARKS.md). Requests
+        with min_tokens > 0, prompts longer than ``park_len``, or a
+        prefix-cache hit take the normal queued path.
+
+        ``mesh``: a jax.sharding.Mesh for tensor-parallel serving (the
         reference's vLLM --tensor_parallel_size role). Pass TP-sharded
         params (parallel.sharding.params_shardings); the engine shards its
         KV cache over the mesh's ``tensor`` axis (kv heads) and replicates
@@ -214,6 +246,30 @@ class InferenceEngine:
         self.bsp = sampling.BatchedSamplingParams.broadcast(
             sp, max_batch, max_top_k=max(max_top_k, sp.top_k, 1)
         )
+        # prefill-ahead park buffer (see __init__ docstring)
+        self.prefill_ahead = prefill_ahead
+        self.first_token_times: dict[int, float] = {}
+        self._parked_entries: collections.deque[_Parked] = collections.deque()
+        self._pending_park = None  # (preview-tokens future, park group)
+        self._parked_total = 0  # lifetime requests prefilled ahead
+        if prefill_ahead:
+            self.park_rows = park_rows or max_batch
+            pl = min(park_len or min(512, max_len), max_len)
+            step = self._bucket_step()
+            self.park_len = max(step, (pl // step) * step)
+            self.park_cache = llama.init_kv_cache(
+                self.cfg, self.park_rows, self.park_len,
+                quantized=self.quantized_kv,
+            )
+            self.park_logits = jnp.zeros(
+                (self.park_rows, logits_width), jnp.float32
+            )
+            self.park_counts = jnp.zeros(
+                (self.park_rows, logits_width), jnp.int32
+            )
+            self._free_park_rows = list(range(self.park_rows))
+            self._park_cache_jits: dict = {}
+            self._attach_cache_jits: dict = {}
         self._shard_state_for_mesh()
 
         from tts_max_tpu.models.quantization import is_packed4
@@ -336,6 +392,12 @@ class InferenceEngine:
             self.read_cache = {
                 k: shard_kv(v) for k, v in self.read_cache.items()
             }
+        if self.prefill_ahead:
+            self.park_cache = {
+                k: shard_kv(v) for k, v in self.park_cache.items()
+            }
+            self.park_logits = jax.device_put(self.park_logits, rep)
+            self.park_counts = jax.device_put(self.park_counts, rep)
         for name in ("lengths", "last_logits", "active", "token_counts",
                      "gen_counts", "rngs", "eos_ids", "budgets",
                      "min_tokens", "prompt_lens"):
@@ -372,6 +434,8 @@ class InferenceEngine:
     def has_work(self) -> bool:
         return (
             bool(self._queue)
+            or bool(self._parked_entries)
+            or self._pending_park is not None
             or any(s.request for s in self._slots)
             or self._pending_dispatch is not None
         )
@@ -384,10 +448,16 @@ class InferenceEngine:
             if req.request_id == request_id:
                 del self._queue[i]
                 return True
+        for i, entry in enumerate(self._parked_entries):
+            if entry.request.request_id == request_id:
+                del self._parked_entries[i]
+                self._free_park_rows.append(entry.row)
+                return True
         for i, slot in enumerate(self._slots):
             if slot.request is not None and slot.request.request_id == request_id:
                 slot.request = None
                 slot.generated = []
+                slot.skip_preview = False
                 self.active = self.active.at[i].set(False)
                 if self._pending_dispatch is not None:
                     # The in-flight pipelined dispatch snapshotted this slot
@@ -406,6 +476,7 @@ class InferenceEngine:
         """Admit queued requests into free slots, run ONE decode step for all
         active slots, collect finished completions."""
         self._admit()
+        self._process_pending_park()
         if any(s.request for s in self._slots):
             self._run_decode()
         out, self._finished = self._finished, []
@@ -434,6 +505,10 @@ class InferenceEngine:
             self._process_decode_blob(np.asarray(pending[0]), pending[1])
             # blocks parked by cancel() during that dispatch are now safe
             self._flush_deferred_releases()
+        # drain the park-preview future AFTER the next dispatch went out
+        # (its program ran right behind the previous dispatch on device,
+        # so this fetch does not stall the pipeline)
+        self._process_pending_park()
         out, self._finished = self._finished, []
         return out
 
@@ -466,6 +541,13 @@ class InferenceEngine:
             "generated_tokens": self._total_tokens,
             "dispatches_per_stage": dict(self._stage_counts),
         }
+        if self.prefill_ahead:
+            out.update(
+                parked_requests=len(self._parked_entries),
+                free_park_rows=len(self._free_park_rows),
+                park_rows=self.park_rows,
+                parked_total=self._parked_total,
+            )
         if hasattr(self, "_refs"):  # paged subclass
             out.update(
                 free_blocks=len(self._free_blocks),
@@ -658,6 +740,7 @@ class InferenceEngine:
         slot = self._slots[slot_idx]
         slot.request = req
         slot.generated = []
+        slot.skip_preview = False
 
     def _prefill_group(self, items: list[tuple[int, "Request", dict]]) -> None:
         """One batched device prefill for ``items`` (all plain, non-prefix
@@ -707,6 +790,17 @@ class InferenceEngine:
                 self._queue,
                 key=lambda r: len(r.prompt_tokens) + r.max_new_tokens,
             ))
+        # parked requests were popped from the queue earlier, so they sit
+        # conceptually at its front: attach them into free slots first
+        self._attach_parked()
+        if not self._parked_entries:
+            self._admit_queue()
+        # else: strict FIFO — parked entries are blocked (no free slot, or
+        # paged block exhaustion); the queue must not jump ahead of them
+        # pool still saturated + queue non-empty: prefill ahead into park
+        self._park_ahead()
+
+    def _admit_queue(self) -> None:
         while self._queue:
             free = [i for i, s in enumerate(self._slots) if s.request is None]
             if not free:
@@ -749,6 +843,288 @@ class InferenceEngine:
                 self._prefill_group(group[i : i + g])
                 i += g
 
+    # --- prefill-ahead (park) -----------------------------------------------
+
+    def _park_eligible(self, req: Request) -> bool:
+        return (
+            len(req.prompt_tokens) <= self.park_len
+            and req.min_tokens == 0
+            and len(req.prompt_tokens) + req.max_new_tokens <= self.max_len
+            and not self._wants_suffix(req)
+        )
+
+    def _park_fn(self, bucket: int, g: int):
+        """One program per (prompt bucket, group): prefill into park rows,
+        store post-prefill state (logits/counts), and PREVIEW the first
+        token with exactly the inputs the decode's first step will see —
+        same seeded key split, same prompt counts, gen_counts=0 — so the
+        attach-time decode deterministically re-derives it."""
+        key = (bucket, g, self.bsp.use_top_p)
+        if key not in self._park_cache_jits:
+            lo = self.vocab_window[0] if self.vocab_window else 0
+
+            def fn(params, park_cache, park_logits, park_counts, tokens,
+                   ns, rows, seeds, meta_rows):
+                small = llama.init_kv_cache(
+                    self.cfg, g, bucket, quantized=self.quantized_kv
+                )
+                logits, small = llama.prefill(
+                    params, self.cfg, tokens, ns, small,
+                    logits_head=self._logits_head(params),
+                )
+                park_cache = jax.tree.map(
+                    lambda big, little: big.at[:, rows, :bucket].set(
+                        little.astype(big.dtype)
+                    ),
+                    park_cache, small,
+                )
+                mask = jnp.arange(bucket)[None, :] < ns[:, None]
+                counts = self._prompt_counts(tokens, mask)
+                park_counts = park_counts.at[rows].set(counts)
+                park_logits = park_logits.at[rows].set(logits)
+                # preview sample == decode step 0 for these rows: rng is
+                # PRNGKey(seed) (what attach scatters), split exactly as
+                # the decode scan does; min_tokens==0 by eligibility so
+                # the eos-blocking branch is the identity
+                keys0 = jnp.stack(
+                    [jnp.zeros_like(seeds), seeds], axis=-1
+                ).astype(jnp.uint32)
+                sample_keys = jax.vmap(
+                    lambda k: jax.random.split(k)
+                )(keys0)[:, 1]
+                bsp_g = sampling.BatchedSamplingParams(
+                    temperature=meta_rows["temperature"],
+                    top_k=meta_rows["top_k"],
+                    top_p=meta_rows["top_p"],
+                    repetition_penalty=meta_rows["repetition_penalty"],
+                    frequency_penalty=meta_rows["frequency_penalty"],
+                    max_top_k=self.bsp.max_top_k,
+                    use_top_p=self.bsp.use_top_p,
+                )
+                toks_w = sampling.sample_token_batched(
+                    sample_keys, logits, bsp_g, counts,
+                    jnp.zeros_like(counts),
+                )
+                return park_cache, park_logits, park_counts, toks_w + lo
+
+            self._park_cache_jits[key] = jax.jit(
+                fn, donate_argnums=(1, 2, 3)
+            )
+        return self._park_cache_jits[key]
+
+    def _park_ahead(self) -> None:
+        """Pool saturated: prefill the queue's head run into park rows and
+        emit first tokens. One group per call (groups are sized like
+        prefill groups); requests whose preview token already finishes
+        them (eos, or budget 1) complete right here and never occupy a
+        slot."""
+        if not self.prefill_ahead or not self._queue:
+            return
+        if self._pending_park is not None:
+            return  # one in-flight park group at a time
+        if any(s.request is None for s in self._slots):
+            return  # a slot is free; normal admission handles the head
+        group: list[tuple[int, Request]] = []
+        cap = min(len(self._free_park_rows), max(self.prefill_group_sizes))
+        while self._queue and len(group) < cap:
+            req = self._queue[0]
+            if not self._park_eligible(req):
+                break
+            self._queue.popleft()
+            group.append((self._free_park_rows.pop(), req))
+        if not group:
+            return
+        step = self._bucket_step()
+        bucket = min(
+            self.park_len,
+            max(_bucket(len(r.prompt_tokens), step) for _, r in group),
+        )
+        g = len(group)
+        padded = np.zeros((g, bucket), dtype=np.int32)
+        ns = np.zeros((g,), dtype=np.int32)
+        for i, (_, req) in enumerate(group):
+            n = len(req.prompt_tokens)
+            padded[i, :n] = req.prompt_tokens
+            ns[i] = n
+        rows = np.asarray([r for r, _ in group], dtype=np.int32)
+        seeds = np.asarray(
+            [r.sampling_seed & 0xFFFFFFFF for _, r in group], dtype=np.uint32
+        ).astype(np.int32)
+        meta = self._meta_rows([r for _, r in group])
+        for _, req in group:
+            # a top_p request must flip the STATIC nucleus flag before the
+            # preview so park and decode sample identically
+            sp = req.sampling or self.sp
+            if sp.top_p < 1.0 and not self.bsp.use_top_p:
+                import dataclasses
+
+                self.bsp = dataclasses.replace(self.bsp, use_top_p=True)
+        (self.park_cache, self.park_logits, self.park_counts,
+         toks) = self._park_fn(bucket, g)(
+            self.params, self.park_cache, self.park_logits,
+            self.park_counts, padded, ns, rows, seeds, meta,
+        )
+        # do NOT fetch the preview tokens here: the fetch would block on
+        # the in-flight decode dispatch and stall the pipeline. The future
+        # is drained by _process_pending_park AFTER the next dispatch is
+        # issued (poll()).
+        self._pending_park = (toks, group)
+
+    def _process_pending_park(self) -> None:
+        if self._pending_park is None:
+            return
+        toks, group = self._pending_park
+        self._pending_park = None
+        self._parked_total += len(group)
+        toks_np = np.asarray(toks)  # host fetch: the first tokens
+        now = time.perf_counter()
+        for i, (row, req) in enumerate(group):
+            tok = int(toks_np[i])
+            self.first_token_times.setdefault(req.request_id, now)
+            self._total_tokens += 1
+            if tok == req.eos_id or req.max_new_tokens <= 1:
+                self._total_completions += 1
+                self._finished.append(Completion(
+                    req.request_id,
+                    np.asarray([tok], dtype=np.int32),
+                    "eos" if tok == req.eos_id else "length",
+                ))
+                self._free_park_rows.append(row)
+            else:
+                self._parked_entries.append(_Parked(row, req, tok))
+
+    def _can_attach(self, req: Request) -> bool:
+        return True  # contiguous: a free slot is the only resource
+
+    def _prepare_attach(self, slot_idx: int, req: Request) -> dict:
+        return {}
+
+    def _attach_scatter_args(self, items) -> tuple:
+        return ()
+
+    def _attach_scatter(self, cache, park_cache, rows, slots, *extra):
+        """Copy park rows' KV into slot regions (contiguous layout)."""
+        return jax.tree.map(
+            lambda big, parked: big.at[:, slots, : self.park_len].set(
+                parked[:, rows].astype(big.dtype)
+            ),
+            cache, park_cache,
+        )
+
+    def _attach_fn(self, g: int):
+        """One program per group size: copy park-row KV into freed slots
+        and scatter every per-slot admission state row — exactly
+        _prefill_fn minus the forward pass (the KV is already computed)."""
+        if g not in self._attach_cache_jits:
+
+            def fn(cache, read_cache, park_cache, park_logits, park_counts,
+                   rows, slots, ns, seeds, meta_rows, last_logits, lengths,
+                   active, token_counts, gen_counts, rngs, eos_ids, budgets,
+                   min_tokens, prompt_lens, bsp, *extra):
+                import dataclasses
+
+                cache = self._attach_scatter(
+                    cache, park_cache, rows, slots, *extra
+                )
+                if read_cache is not None:
+                    read_cache = jax.tree.map(
+                        lambda big, parked: big.at[
+                            :, slots, : self.park_len
+                        ].set(parked[:, rows].astype(big.dtype)),
+                        read_cache, park_cache,
+                    )
+                token_counts = token_counts.at[slots].set(park_counts[rows])
+                gen_counts = gen_counts.at[slots].set(0)
+                last_logits = last_logits.at[slots].set(park_logits[rows])
+                lengths = lengths.at[slots].set(ns)
+                active = active.at[slots].set(True)
+                keys = jnp.stack(
+                    [jnp.zeros_like(seeds), seeds], axis=-1
+                ).astype(jnp.uint32)
+                rngs = rngs.at[slots].set(keys)
+                eos_ids = eos_ids.at[slots].set(meta_rows["eos"])
+                budgets = budgets.at[slots].set(meta_rows["budget"])
+                min_tokens = min_tokens.at[slots].set(meta_rows["min"])
+                prompt_lens = prompt_lens.at[slots].set(ns)
+                bsp = dataclasses.replace(
+                    bsp,
+                    temperature=bsp.temperature.at[slots].set(
+                        meta_rows["temperature"]
+                    ),
+                    top_k=bsp.top_k.at[slots].set(meta_rows["top_k"]),
+                    top_p=bsp.top_p.at[slots].set(meta_rows["top_p"]),
+                    repetition_penalty=bsp.repetition_penalty.at[slots].set(
+                        meta_rows["repetition_penalty"]
+                    ),
+                    frequency_penalty=bsp.frequency_penalty.at[slots].set(
+                        meta_rows["frequency_penalty"]
+                    ),
+                )
+                return (cache, read_cache, last_logits, lengths, active,
+                        token_counts, gen_counts, rngs, eos_ids, budgets,
+                        min_tokens, prompt_lens, bsp)
+
+            # donate the big KV buffers (park_cache is read-only here)
+            self._attach_cache_jits[g] = jax.jit(fn, donate_argnums=(0, 1))
+        return self._attach_cache_jits[g]
+
+    def _attach_parked(self) -> None:
+        if not self._parked_entries:
+            return
+        while self._parked_entries:
+            free = [i for i, s in enumerate(self._slots) if s.request is None]
+            if not free:
+                return
+            group: list[tuple[int, _Parked, dict]] = []
+            while (self._parked_entries and len(group) < len(free)
+                   and len(group) < max(self.prefill_group_sizes)):
+                entry = self._parked_entries[0]
+                if not self._can_attach(entry.request):
+                    break
+                self._parked_entries.popleft()
+                slot_idx = free[len(group)]
+                ctx = self._prepare_attach(slot_idx, entry.request)
+                group.append((slot_idx, entry, ctx))
+            if not group:
+                return
+            self._attach_group(group)
+
+    def _attach_group(self, group) -> None:
+        g = len(group)
+        rows = np.asarray([e.row for _, e, _ in group], dtype=np.int32)
+        slots = np.asarray([s for s, _, _ in group], dtype=np.int32)
+        ns = np.asarray(
+            [len(e.request.prompt_tokens) for _, e, _ in group],
+            dtype=np.int32,
+        )
+        seeds = np.asarray(
+            [e.request.sampling_seed & 0xFFFFFFFF for _, e, _ in group],
+            dtype=np.uint32,
+        ).astype(np.int32)
+        meta = self._meta_rows([e.request for _, e, _ in group])
+        extra = self._attach_scatter_args(group)
+        for slot_idx, entry, _ in group:
+            self._activate_host(slot_idx, entry.request)
+            slot = self._slots[slot_idx]
+            slot.generated = [entry.first_token]
+            slot.skip_preview = True
+        (self.cache, self.read_cache, self.last_logits, self.lengths,
+         self.active, self.token_counts, self.gen_counts, self.rngs,
+         self.eos_ids, self.budgets, self.min_tokens, self.prompt_lens,
+         self.bsp) = self._attach_fn(g)(
+            self.cache, self.read_cache, self.park_cache, self.park_logits,
+            self.park_counts, rows, slots, ns, seeds, meta,
+            self.last_logits, self.lengths, self.active, self.token_counts,
+            self.gen_counts, self.rngs, self.eos_ids, self.budgets,
+            self.min_tokens, self.prompt_lens, self.bsp, *extra,
+        )
+        for slot_idx, entry, ctx in group:
+            self._free_park_rows.append(entry.row)
+            self._register_attach(slot_idx, entry.request, ctx)
+
+    def _register_attach(self, slot_idx: int, req: Request, ctx: dict):
+        pass
+
     def warmup(self, prompt_buckets: tuple[int, ...] = (64, 256)) -> None:
         """Compile every program the serving loop will hit (vLLM-style
         startup warmup): each (prompt bucket, group size) prefill variant
@@ -787,6 +1163,54 @@ class InferenceEngine:
                     self.prompt_lens, self.bsp, *extra,
                 )
                 np.asarray(self.lengths)  # fetch a small leaf: completion
+        if self.prefill_ahead:
+            # park + attach programs (adopting donated outputs, as above)
+            park_buckets = sorted({min(b, self.park_len) for b in buckets})
+            for bucket in park_buckets:
+                for g in self.prefill_group_sizes:
+                    if g > self.park_rows:
+                        continue
+                    dummies = [
+                        Request(-1, np.zeros(1, np.int32), 2, -1)
+                        for _ in range(g)
+                    ]
+                    (self.park_cache, self.park_logits, self.park_counts,
+                     toks) = self._park_fn(bucket, g)(
+                        self.params, self.park_cache, self.park_logits,
+                        self.park_counts, np.zeros((g, bucket), np.int32),
+                        np.full((g,), 1, np.int32),
+                        np.arange(g, dtype=np.int32),
+                        np.zeros((g,), np.int32), self._meta_rows(dummies),
+                    )
+                    np.asarray(toks)
+            for g in self.prefill_group_sizes:
+                if g > self.park_rows or g > self.max_batch:
+                    continue
+                dummies = [
+                    Request(-1, np.zeros(1, np.int32), 2, -1)
+                    for _ in range(g)
+                ]
+                (self.cache, self.read_cache, self.last_logits,
+                 self.lengths, self.active, self.token_counts,
+                 self.gen_counts, self.rngs, self.eos_ids, self.budgets,
+                 self.min_tokens, self.prompt_lens,
+                 self.bsp) = self._attach_fn(g)(
+                    self.cache, self.read_cache, self.park_cache,
+                    self.park_logits, self.park_counts,
+                    np.arange(g, dtype=np.int32),
+                    np.arange(g, dtype=np.int32),
+                    np.full((g,), 1, np.int32), np.zeros((g,), np.int32),
+                    self._meta_rows(dummies), self.last_logits,
+                    self.lengths, self.active, self.token_counts,
+                    self.gen_counts, self.rngs, self.eos_ids, self.budgets,
+                    self.min_tokens, self.prompt_lens, self.bsp,
+                    *self._warmup_attach_args(g),
+                )
+                np.asarray(self.lengths)
+            # the dummy attach rows sit device-active with budget 2; the
+            # decode warmup below emits their 2 tokens and budget-finishes
+            # them in-program (host slots are empty, so blob rows are
+            # skipped — same contract as the prefill warmup dummies)
         # compile + run the decode program at EVERY stage the staged
         # dispatcher can pick (all-idle pool: harmless, see above) so no
         # serving-time dispatch hits a cold compile
@@ -796,6 +1220,9 @@ class InferenceEngine:
             self._run_decode(stage)
 
     def _warmup_scatter_args(self, g: int, bucket: int) -> tuple:
+        return ()
+
+    def _warmup_attach_args(self, g: int) -> tuple:
         return ()
 
     def _bucket_step(self) -> int:
@@ -1138,6 +1565,10 @@ class InferenceEngine:
         slot = self._slots[slot_idx]
         req = slot.request
         slot.generated.append(tok)
+        if len(slot.generated) == 1:
+            self.first_token_times.setdefault(
+                req.request_id, time.perf_counter()
+            )
         self._total_tokens += 1
         if tok == req.eos_id or len(slot.generated) >= req.max_new_tokens:
             reason = "eos" if tok == req.eos_id else "length"
@@ -1194,6 +1625,20 @@ class InferenceEngine:
             for k in range(toks_np.shape[0]):
                 if not emitted_np[k, i]:
                     continue
+                if slot.skip_preview:
+                    # attach-from-park: this row re-derives the token the
+                    # park preview already emitted (deterministic — same
+                    # rng split, logits, counts); consume without
+                    # appending. It cannot finish the request: park
+                    # completes eos/budget-1 previews without attaching.
+                    slot.skip_preview = False
+                    tok = int(toks_np[k, i])
+                    assert tok == slot.generated[0], (
+                        f"park preview token {slot.generated[0]} != decode "
+                        f"re-derivation {tok} for request "
+                        f"{slot.request.request_id} (slot {i})"
+                    )
+                    continue
                 if self._finish_token(i, int(toks_np[k, i])):
                     freed.append(i)
                     break
@@ -1237,6 +1682,10 @@ class InferenceEngine:
         toks_np, active_np = blob[0], blob[1].astype(bool)
         for i, slot in enumerate(self._slots):
             if slot.request is None or not active_np[i]:
+                continue
+            if slot.skip_preview:  # see _process_decode_blob
+                slot.skip_preview = False
+                assert int(toks_np[i]) == slot.generated[0]
                 continue
             if self._finish_token(i, int(toks_np[i])):
                 self.active = self.active.at[i].set(False)
@@ -1287,6 +1736,9 @@ class PagedInferenceEngine(InferenceEngine):
         admission_policy: str = "fifo",
         delta_kv: bool = True,
         persistent_read_cache: bool = True,
+        prefill_ahead: bool = False,
+        park_rows: int | None = None,
+        park_len: int | None = None,
     ):
         """``persistent_read_cache`` (delta-KV dispatches only): keep a
         contiguous [L, B, max_len] mirror of every slot's KV alive across
@@ -1342,6 +1794,8 @@ class PagedInferenceEngine(InferenceEngine):
             steps_per_dispatch=steps_per_dispatch, mesh=mesh,
             staged_cache=staged_cache, min_stage=min_stage,
             admission_policy=admission_policy, delta_kv=delta_kv,
+            prefill_ahead=prefill_ahead, park_rows=park_rows,
+            park_len=park_len,
         )
 
     def _make_cache(self):
@@ -1531,6 +1985,66 @@ class PagedInferenceEngine(InferenceEngine):
     def _warmup_scatter_args(self, g: int, bucket: int) -> tuple:
         # all-zero tables: warmup KV lands in the sink block
         return (np.zeros((g, bucket // self.block_size), dtype=np.int32),)
+
+    def _warmup_attach_args(self, g: int) -> tuple:
+        return (
+            np.zeros((g, self.park_len // self.block_size), dtype=np.int32),
+        )
+
+    # --- prefill-ahead, paged form ------------------------------------------
+    # (a prefix-cache hit stays on the queued suffix path — the base
+    # _park_eligible excludes _wants_suffix requests, since parking does a
+    # full prefill and cannot scatter onto shared cached blocks)
+
+    def _can_attach(self, req: Request) -> bool:
+        # fresh allocation, no prefix reuse: shared cached blocks cannot be
+        # scatter targets for the park copy (other requests read them)
+        return self._blocks_needed(req) <= (
+            len(self._free_blocks) + len(self._evictable)
+        )
+
+    def _prepare_attach(self, slot_idx: int, req: Request) -> dict:
+        hashes = (
+            self._block_hashes(req.prompt_tokens)
+            if self.enable_prefix_cache else []
+        )
+        blocks = [self._alloc_block() for _ in range(self._blocks_needed(req))]
+        for blk in blocks:
+            self._refs[blk] += 1
+        self._slot_blocks[slot_idx] = blocks
+        self._table[slot_idx] = 0
+        self._table[slot_idx, : len(blocks)] = blocks
+        self._table_dirty = True
+        return {"hashes": hashes, "m": 0, "reused": [], "blocks": blocks}
+
+    def _attach_scatter_args(self, items) -> tuple:
+        nb = self.park_len // self.block_size
+        tables = np.zeros((len(items), nb), dtype=np.int32)
+        for row, (_, _, ctx) in enumerate(items):
+            blocks = ctx["blocks"][:nb]
+            tables[row, : len(blocks)] = blocks  # remainder -> sink block 0
+        return (tables,)
+
+    def _attach_scatter(self, cache, park_cache, rows, slots, *extra):
+        """Scatter park rows' KV through the slots' fresh block tables
+        (columns past a short allocation route to the sink block)."""
+        (tables,) = extra
+        bs = self.block_size
+        nb = self.park_len // bs
+
+        def scatter(big, parked):
+            lit = parked[:, rows]  # [L, g, park_len, ...]
+            lit = lit.reshape(
+                lit.shape[0], lit.shape[1], nb, bs, *lit.shape[3:]
+            )
+            return big.at[:, tables].set(lit.astype(big.dtype))
+
+        return jax.tree.map(scatter, cache, park_cache)
+
+    def _register_attach(self, slot_idx: int, req: Request, ctx: dict):
+        # the attached blocks hold the exact prompt KV: populate the
+        # prefix cache from them like a normal prefill admission
+        self._register_prefix(slot_idx, req, ctx)
 
     def _suffix_prefill_fn(self, m: int, bucket: int, suffix_bucket: int):
         """One program per (cached-prefix blocks, suffix bucket): gather the

@@ -108,10 +108,16 @@ class StreamingSynthesizer:
         prompt: str,
         max_new_tokens: int = 1792,
         seed: int = 0,
+        input_ids: np.ndarray | None = None,
     ) -> Iterator[np.ndarray]:
-        input_ids = np.asarray(
-            self._tokenizer.encode(prompt, add_special_tokens=True), dtype=np.int32
-        )
+        """``input_ids``: pre-tokenized prompt (skips the tokenizer —
+        benchmark harnesses feed raw speech-token prompts)."""
+        if input_ids is None:
+            input_ids = np.asarray(
+                self._tokenizer.encode(prompt, add_special_tokens=True),
+                dtype=np.int32,
+            )
+        input_ids = np.asarray(input_ids, dtype=np.int32)
         rid = self._engine.submit(
             input_ids, max_new_tokens, eos_id=self._sv.speech_end_id,
             sampling_seed=seed,
