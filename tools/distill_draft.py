@@ -65,7 +65,12 @@ def main(argv=None):
     log = get_logger("distill_draft")
 
     if args.model_dir and os.path.isdir(args.model_dir):
-        tokenizer = build_tokenizer(args.model_dir, expected_vocab_size=None)
+        try:
+            tokenizer = build_tokenizer(
+                args.model_dir, expected_vocab_size=None
+            )
+        except Exception:  # serving dirs may carry no tokenizer files
+            tokenizer = build_byte_tokenizer()
         params, cfg = hf_import.load_model_from_hf_dir(args.model_dir)
         params = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.bfloat16), params

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--no-staged", action="store_true",
                     help="disable staged (occupancy-sized) dispatches")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--no-persistent-read-cache", action="store_true",
+                    help="paged: per-dispatch pool gather instead of the "
+                         "persistent contiguous mirror")
+    ap.add_argument("--no-delta", action="store_true")
     args = ap.parse_args()
 
     cfg = llama.config_for_architecture(args.arch, max_seq_len=args.max_len)
@@ -72,12 +76,19 @@ def main():
         window = None
     from tts_max_tpu.inference.engine import InferenceEngine
 
-    cls = InferenceEngine if args.contiguous else PagedInferenceEngine
-    eng = cls(
-        params, cfg, max_batch=args.batch, max_len=args.max_len, sp=sp,
+    kw = dict(
+        max_batch=args.batch, max_len=args.max_len, sp=sp,
         vocab_window=window, steps_per_dispatch=args.k,
         staged_cache=not args.no_staged, quantized_kv=args.kv == "int8",
+        delta_kv=not args.no_delta,
     )
+    if args.contiguous:
+        eng = InferenceEngine(params, cfg, **kw)
+    else:
+        eng = PagedInferenceEngine(
+            params, cfg,
+            persistent_read_cache=not args.no_persistent_read_cache, **kw
+        )
     rng = np.random.default_rng(0)
     lo, hi = (window[0], window[0] + window[1] - 8) if window else (3, cfg.vocab_size)
     for i in range(args.batch):

@@ -261,9 +261,6 @@ class InferenceEngine:
                 self.cfg, self.park_rows, self.park_len,
                 quantized=self.quantized_kv,
             )
-            self.park_logits = jnp.zeros(
-                (self.park_rows, logits_width), jnp.float32
-            )
             self.park_counts = jnp.zeros(
                 (self.park_rows, logits_width), jnp.int32
             )
@@ -396,7 +393,6 @@ class InferenceEngine:
             self.park_cache = {
                 k: shard_kv(v) for k, v in self.park_cache.items()
             }
-            self.park_logits = jax.device_put(self.park_logits, rep)
             self.park_counts = jax.device_put(self.park_counts, rep)
         for name in ("lengths", "last_logits", "active", "token_counts",
                      "gen_counts", "rngs", "eos_ids", "budgets",
@@ -855,15 +851,18 @@ class InferenceEngine:
 
     def _park_fn(self, bucket: int, g: int):
         """One program per (prompt bucket, group): prefill into park rows,
-        store post-prefill state (logits/counts), and PREVIEW the first
-        token with exactly the inputs the decode's first step will see —
-        same seeded key split, same prompt counts, gen_counts=0 — so the
-        attach-time decode deterministically re-derives it."""
+        store prompt counts, and sample the FIRST token with the inputs
+        the decode's first step would see — same seeded key split, same
+        prompt counts, gen_counts=0. The attach later FORCES the decode to
+        emit this exact token (one-hot last_logits), so no cross-program
+        float determinism is assumed: fp32 sampling compiled into two
+        different XLA programs is NOT bitwise-reproducible on TPU
+        (measured round 5 — reduction/FMA layout differs per program)."""
         key = (bucket, g, self.bsp.use_top_p)
         if key not in self._park_cache_jits:
             lo = self.vocab_window[0] if self.vocab_window else 0
 
-            def fn(params, park_cache, park_logits, park_counts, tokens,
+            def fn(params, park_cache, park_counts, tokens,
                    ns, rows, seeds, meta_rows):
                 small = llama.init_kv_cache(
                     self.cfg, g, bucket, quantized=self.quantized_kv
@@ -881,7 +880,6 @@ class InferenceEngine:
                 mask = jnp.arange(bucket)[None, :] < ns[:, None]
                 counts = self._prompt_counts(tokens, mask)
                 park_counts = park_counts.at[rows].set(counts)
-                park_logits = park_logits.at[rows].set(logits)
                 # preview sample == decode step 0 for these rows: rng is
                 # PRNGKey(seed) (what attach scatters), split exactly as
                 # the decode scan does; min_tokens==0 by eligibility so
@@ -905,10 +903,10 @@ class InferenceEngine:
                     sample_keys, logits, bsp_g, counts,
                     jnp.zeros_like(counts),
                 )
-                return park_cache, park_logits, park_counts, toks_w + lo
+                return park_cache, park_counts, toks_w + lo
 
             self._park_cache_jits[key] = jax.jit(
-                fn, donate_argnums=(1, 2, 3)
+                fn, donate_argnums=(1, 2)
             )
         return self._park_cache_jits[key]
 
@@ -959,9 +957,9 @@ class InferenceEngine:
                 import dataclasses
 
                 self.bsp = dataclasses.replace(self.bsp, use_top_p=True)
-        (self.park_cache, self.park_logits, self.park_counts,
+        (self.park_cache, self.park_counts,
          toks) = self._park_fn(bucket, g)(
-            self.params, self.park_cache, self.park_logits,
+            self.params, self.park_cache,
             self.park_counts, padded, ns, rows, seeds, meta,
         )
         # do NOT fetch the preview tokens here: the fetch would block on
@@ -1014,11 +1012,20 @@ class InferenceEngine:
     def _attach_fn(self, g: int):
         """One program per group size: copy park-row KV into freed slots
         and scatter every per-slot admission state row — exactly
-        _prefill_fn minus the forward pass (the KV is already computed)."""
+        _prefill_fn minus the forward pass (the KV is already computed).
+
+        The slot's last_logits row becomes a ONE-HOT over the park-preview
+        token (0 there, -inf elsewhere): the decode's first step then
+        emits that token regardless of sampling params/keys (penalties,
+        top-k/p, and gumbel noise all preserve a single finite entry) and
+        forwards it to compute real step-2 logits — the already-emitted
+        preview is exact BY CONSTRUCTION, with no cross-program float
+        determinism assumption."""
         if g not in self._attach_cache_jits:
 
-            def fn(cache, read_cache, park_cache, park_logits, park_counts,
-                   rows, slots, ns, seeds, meta_rows, last_logits, lengths,
+            def fn(cache, read_cache, park_cache, park_counts,
+                   rows, slots, ns, seeds, first_toks_w, meta_rows,
+                   last_logits, lengths,
                    active, token_counts, gen_counts, rngs, eos_ids, budgets,
                    min_tokens, prompt_lens, bsp, *extra):
                 import dataclasses
@@ -1035,7 +1042,11 @@ class InferenceEngine:
                     )
                 token_counts = token_counts.at[slots].set(park_counts[rows])
                 gen_counts = gen_counts.at[slots].set(0)
-                last_logits = last_logits.at[slots].set(park_logits[rows])
+                w = last_logits.shape[-1]
+                onehot = jnp.full((g, w), -jnp.inf, jnp.float32).at[
+                    jnp.arange(g), first_toks_w
+                ].set(0.0)
+                last_logits = last_logits.at[slots].set(onehot)
                 lengths = lengths.at[slots].set(ns)
                 active = active.at[slots].set(True)
                 keys = jnp.stack(
@@ -1101,6 +1112,10 @@ class InferenceEngine:
             [e.request.sampling_seed & 0xFFFFFFFF for _, e, _ in group],
             dtype=np.uint32,
         ).astype(np.int32)
+        lo = self.vocab_window[0] if self.vocab_window else 0
+        first_w = np.asarray(
+            [e.first_token - lo for _, e, _ in group], dtype=np.int32
+        )
         meta = self._meta_rows([e.request for _, e, _ in group])
         extra = self._attach_scatter_args(group)
         for slot_idx, entry, _ in group:
@@ -1112,8 +1127,8 @@ class InferenceEngine:
          self.active, self.token_counts, self.gen_counts, self.rngs,
          self.eos_ids, self.budgets, self.min_tokens, self.prompt_lens,
          self.bsp) = self._attach_fn(g)(
-            self.cache, self.read_cache, self.park_cache, self.park_logits,
-            self.park_counts, rows, slots, ns, seeds, meta,
+            self.cache, self.read_cache, self.park_cache,
+            self.park_counts, rows, slots, ns, seeds, first_w, meta,
             self.last_logits, self.lengths, self.active, self.token_counts,
             self.gen_counts, self.rngs, self.eos_ids, self.budgets,
             self.min_tokens, self.prompt_lens, self.bsp, *extra,
@@ -1174,9 +1189,9 @@ class InferenceEngine:
                         Request(-1, np.zeros(1, np.int32), 2, -1)
                         for _ in range(g)
                     ]
-                    (self.park_cache, self.park_logits, self.park_counts,
+                    (self.park_cache, self.park_counts,
                      toks) = self._park_fn(bucket, g)(
-                        self.params, self.park_cache, self.park_logits,
+                        self.params, self.park_cache,
                         self.park_counts, np.zeros((g, bucket), np.int32),
                         np.full((g,), 1, np.int32),
                         np.arange(g, dtype=np.int32),
@@ -1196,10 +1211,11 @@ class InferenceEngine:
                  self.min_tokens, self.prompt_lens,
                  self.bsp) = self._attach_fn(g)(
                     self.cache, self.read_cache, self.park_cache,
-                    self.park_logits, self.park_counts,
+                    self.park_counts,
                     np.arange(g, dtype=np.int32),
                     np.arange(g, dtype=np.int32),
                     np.full((g,), 1, np.int32), np.zeros((g,), np.int32),
+                    np.zeros((g,), np.int32),
                     self._meta_rows(dummies), self.last_logits,
                     self.lengths, self.active, self.token_counts,
                     self.gen_counts, self.rngs, self.eos_ids, self.budgets,
