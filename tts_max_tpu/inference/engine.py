@@ -250,7 +250,8 @@ class InferenceEngine:
         self.prefill_ahead = prefill_ahead
         self.first_token_times: dict[int, float] = {}
         self._parked_entries: collections.deque[_Parked] = collections.deque()
-        self._pending_park = None  # (preview-tokens future, park group)
+        # in-flight park groups: list of (preview-tokens future, group)
+        self._pending_parks: list = []
         self._parked_total = 0  # lifetime requests prefilled ahead
         if prefill_ahead:
             self.park_rows = park_rows or max_batch
@@ -431,7 +432,7 @@ class InferenceEngine:
         return (
             bool(self._queue)
             or bool(self._parked_entries)
-            or self._pending_park is not None
+            or bool(self._pending_parks)
             or any(s.request for s in self._slots)
             or self._pending_dispatch is not None
         )
@@ -911,17 +912,23 @@ class InferenceEngine:
         return self._park_cache_jits[key]
 
     def _park_ahead(self) -> None:
-        """Pool saturated: prefill the queue's head run into park rows and
-        emit first tokens. One group per call (groups are sized like
-        prefill groups); requests whose preview token already finishes
-        them (eos, or budget 1) complete right here and never occupy a
-        slot."""
-        if not self.prefill_ahead or not self._queue:
+        """Pool saturated (or paged block exhaustion): prefill the queue
+        into park rows and emit first tokens. Parks AGGRESSIVELY — every
+        eligible queued request a free park row can hold, multiple groups
+        per call — so under deep overload first tokens for ALL waiting
+        requests arrive at prefill latency instead of slot-wait latency
+        (work-conserving: these are the same prefills the pool would run
+        later; only the attach copies are extra). Requests whose preview
+        token already finishes them (eos, or budget 1) complete right here
+        and never occupy a slot."""
+        if not self.prefill_ahead:
             return
-        if self._pending_park is not None:
-            return  # one in-flight park group at a time
-        if any(s.request is None for s in self._slots):
-            return  # a slot is free; normal admission handles the head
+        while self._queue and self._free_park_rows:
+            if not self._park_eligible(self._queue[0]):
+                return
+            self._park_one_group()
+
+    def _park_one_group(self) -> None:
         group: list[tuple[int, Request]] = []
         cap = min(len(self._free_park_rows), max(self.prefill_group_sizes))
         while self._queue and len(group) < cap:
@@ -963,16 +970,16 @@ class InferenceEngine:
             self.park_counts, padded, ns, rows, seeds, meta,
         )
         # do NOT fetch the preview tokens here: the fetch would block on
-        # the in-flight decode dispatch and stall the pipeline. The future
-        # is drained by _process_pending_park AFTER the next dispatch is
+        # the in-flight decode dispatch and stall the pipeline. The futures
+        # are drained by _process_pending_park AFTER the next dispatch is
         # issued (poll()).
-        self._pending_park = (toks, group)
+        self._pending_parks.append((toks, group))
 
     def _process_pending_park(self) -> None:
-        if self._pending_park is None:
-            return
-        toks, group = self._pending_park
-        self._pending_park = None
+        while self._pending_parks:
+            self._process_one_park(*self._pending_parks.pop(0))
+
+    def _process_one_park(self, toks, group) -> None:
         self._parked_total += len(group)
         toks_np = np.asarray(toks)  # host fetch: the first tokens
         now = time.perf_counter()
@@ -1560,12 +1567,20 @@ class InferenceEngine:
         (delta, delta_mask, last_logits, lengths, active, token_counts,
          gen_counts, rngs) = carry
         if table is not None:
-            cache = llama.commit_delta_paged(cache, delta, base_lengths,
-                                             table)
             if read_cache is not None:
+                # persistent mirror: decode rows live ONLY in the mirror.
+                # Nothing ever reads them back out of the pool — prefix
+                # caching registers full PROMPT blocks only, suffix
+                # admissions gather prompt blocks only, and gather-mode is
+                # mutually exclusive with the mirror — so the paged pool
+                # commit is skipped entirely (the pool stays the prompt
+                # store + block accounting).
                 read_cache = llama.commit_delta(
                     read_cache, delta, base_lengths
                 )
+            else:
+                cache = llama.commit_delta_paged(cache, delta, base_lengths,
+                                                 table)
         else:
             cache = llama.commit_delta(cache, delta, base_lengths)
         packed = jnp.concatenate(

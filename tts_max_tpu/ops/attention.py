@@ -43,11 +43,19 @@ def causal_attention(
     MXU-tiled); otherwise XLA's fused attention.
     """
     n_rep = q.shape[2] // k.shape[2]
-    if implementation == "pallas" or (
+    if implementation == "tpu_flash" or (
         implementation is None
         and q.shape[1] >= 1024
         and jax.default_backend() not in ("cpu",)
     ):
+        # JAX's bundled TPU flash kernel: fwd AND a real Pallas backward.
+        # Our own kernel (ops/pallas_attention.py) has a flash fwd but its
+        # custom-vjp backward falls back to reference attention — the r4
+        # training trace showed that backward materializing
+        # f32[B*H, S, S] score tensors for ~25% of the train step
+        # (tools/xplane_summary.py on bench_logs/xprof_train).
+        return _tpu_flash_causal(q, k, v, n_rep)
+    if implementation == "pallas":
         from tts_max_tpu.ops.pallas_attention import flash_attention
 
         return flash_attention(q, k, v, causal=True)
@@ -60,6 +68,26 @@ def causal_attention(
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
     return _causal_attention_xla(q, k, v)
+
+
+def _tpu_flash_causal(q, k, v, n_rep: int):
+    """jax.experimental.pallas.ops.tpu.flash_attention with GQA broadcast:
+    q [B, S, Hq, D] / k, v [B, S, Hkv, D] -> [B, S, Hq, D]. Differentiable
+    end to end (the bundled kernel ships dq/dkv Pallas backward passes)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as tpu_flash,
+    )
+
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    # [B, S, H, D] -> [B, H, S, D]
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    out = tpu_flash(
+        qh, kh, vh, causal=True, sm_scale=q.shape[-1] ** -0.5
+    )
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def _causal_attention_xla(q, k, v):

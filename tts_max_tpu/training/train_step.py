@@ -33,8 +33,12 @@ class StepMetrics(NamedTuple):
     grad_norm: jnp.ndarray
     nonfinite: jnp.ndarray  # 1.0 if the update was skipped
     tokens: jnp.ndarray  # number of loss tokens
-    grad_abs_max: jnp.ndarray  # health stats (reference evaluation.py:11-73)
-    param_abs_max: jnp.ndarray
+    # NOTE: per-step grad/param abs-max "health stats" were removed in
+    # round 5 — nothing consumed them, and the r4 xprof attribution
+    # (tools/xplane_summary.py) measured the per-leaf max/stack chains at
+    # ~5-9% of every step. The reference computes health stats only at
+    # eval steps (evaluation.py:11-73), which training/evaluation.py
+    # mirrors behind collect_health_stats.
 
 
 def causal_lm_loss(
@@ -186,14 +190,6 @@ def train_step(
         grad_norm=gnorm,
         nonfinite=(~finite).astype(jnp.float32),
         tokens=tok_sum,
-        grad_abs_max=jnp.max(
-            jnp.stack([jnp.max(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grads)])
-        ),
-        param_abs_max=jnp.max(
-            jnp.stack(
-                [jnp.max(jnp.abs(p)) for p in jax.tree_util.tree_leaves(new_params)]
-            )
-        ),
     )
     return new_params, new_opt_state, metrics
 
