@@ -75,3 +75,29 @@ def test_quant_quality_ordering(anchor):
     assert snr["int8"] > snr["int4-g64"], results
     # per-channel int4 stays usable on a trained model
     assert top1["int4"] > 0.5, results
+
+
+def test_int8_kv_quality_on_trained_anchor(anchor):
+    """int8 KV-cache degradation on a TRAINED model (VERDICT r4 weak #8:
+    the anchor previously pinned weight quantization only). Greedy decode
+    with a quantized KV cache must track the bf16-cache generation on the
+    anchor's decisive margins — near-exact agreement over 48 steps."""
+    from tts_max_tpu.inference.generate import make_generate_fn
+    from tts_max_tpu.ops.sampling import SamplingParams
+
+    params, cfg, toks = anchor
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                        frequency_penalty=0.0)
+    lens = jnp.full((toks.shape[0],), toks.shape[1], jnp.int32)
+    outs = {}
+    for qkv in (False, True):
+        gen = make_generate_fn(
+            cfg, sp, max_new_tokens=48, eos_id=-1,
+            cache_len=toks.shape[1] + 56, quantized_kv=qkv,
+        )
+        res = gen(params, toks, lens, jax.random.PRNGKey(0))
+        outs[qkv] = np.asarray(res.tokens)
+    agree = (outs[False] == outs[True]).mean()
+    assert agree >= 0.95, f"int8-KV greedy agreement {agree:.3f}"
+    # (the language itself is pinned by test_anchor_model_is_trained;
+    # this test pins cache-quantization drift on top of it)

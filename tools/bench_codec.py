@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--trace", default="",
+                    help="capture an xprof trace of the timed iterations "
+                    "(summarize with tools/xplane_summary.py)")
     args = ap.parse_args()
     samples = int(args.seconds * 16000)
     samples -= samples % CODEC_HOP_LENGTH
@@ -67,6 +70,12 @@ def main():
 
     rtt = fetch_rtt()
     _ = float(run(params, arg))  # compile + warmup
+    if args.trace:
+        from tts_max_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            for _ in range(2):
+                _ = float(run(params, arg))
     best = 0.0
     for _ in range(args.iters):
         t0 = time.perf_counter()

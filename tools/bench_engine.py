@@ -137,6 +137,9 @@ def main():
                     help="park buffer rows (0 = max_batch)")
     ap.add_argument("--park-len", type=int, default=0,
                     help="park buffer token capacity (0 = min(512, max_len))")
+    ap.add_argument("--park-groups-per-poll", type=int, default=0,
+                    help="throttle parking: max park groups per poll "
+                         "(0 = park the whole eligible queue at once)")
     ap.add_argument("--no-delta", action="store_true",
                     help="disable delta-KV dispatches")
     ap.add_argument("--no-persistent-read-cache", action="store_true",
@@ -177,6 +180,7 @@ def main():
         prefill_ahead=args.prefill_ahead,
         park_rows=args.park_rows or None,
         park_len=args.park_len or None,
+        park_groups_per_poll=args.park_groups_per_poll,
     )
     if args.contiguous:
         engine = InferenceEngine(params, cfg, **kw)

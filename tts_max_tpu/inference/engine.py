@@ -127,6 +127,7 @@ class InferenceEngine:
         prefill_ahead: bool = False,
         park_rows: int | None = None,
         park_len: int | None = None,
+        park_groups_per_poll: int = 0,
     ):
         """``prefill_ahead``: when the pool is saturated, prefill queued
         requests AHEAD of slot availability into a separate park buffer
@@ -254,6 +255,11 @@ class InferenceEngine:
         self._pending_parks: list = []
         self._parked_total = 0  # lifetime requests prefilled ahead
         if prefill_ahead:
+            # 0 = park the whole eligible queue at once (lowest TTFT; the
+            # park prologue delays early decode dispatches); N>0 = at most
+            # N park groups per poll, interleaving parks with decode
+            # dispatches (higher throughput, TTFT still ~park time)
+            self.park_groups_per_poll = park_groups_per_poll
             self.park_rows = park_rows or max_batch
             pl = min(park_len or min(512, max_len), max_len)
             step = self._bucket_step()
@@ -923,10 +929,14 @@ class InferenceEngine:
         and never occupy a slot."""
         if not self.prefill_ahead:
             return
+        n = 0
         while self._queue and self._free_park_rows:
             if not self._park_eligible(self._queue[0]):
                 return
+            if self.park_groups_per_poll and n >= self.park_groups_per_poll:
+                return
             self._park_one_group()
+            n += 1
 
     def _park_one_group(self) -> None:
         group: list[tuple[int, Request]] = []
@@ -976,12 +986,26 @@ class InferenceEngine:
         self._pending_parks.append((toks, group))
 
     def _process_pending_park(self) -> None:
-        while self._pending_parks:
-            self._process_one_park(*self._pending_parks.pop(0))
+        if not self._pending_parks:
+            return
+        pending, self._pending_parks = self._pending_parks, []
+        if len(pending) == 1:
+            toks_np = np.asarray(pending[0][0])
+        else:
+            # ONE device->host round-trip for all pending park groups: on a
+            # relayed TPU each fetch costs ~25-30 ms un-overlapped, which
+            # at several park groups per poll was most of the aggressive-
+            # parking throughput tax (round-5 measurement)
+            toks_np = np.asarray(
+                jnp.concatenate([t for t, _ in pending])
+            )
+        off = 0
+        for toks, group in pending:
+            self._process_one_park(toks_np[off : off + len(group)], group)
+            off += len(group)
 
-    def _process_one_park(self, toks, group) -> None:
+    def _process_one_park(self, toks_np, group) -> None:
         self._parked_total += len(group)
-        toks_np = np.asarray(toks)  # host fetch: the first tokens
         now = time.perf_counter()
         for i, (row, req) in enumerate(group):
             tok = int(toks_np[i])
@@ -1770,6 +1794,7 @@ class PagedInferenceEngine(InferenceEngine):
         prefill_ahead: bool = False,
         park_rows: int | None = None,
         park_len: int | None = None,
+        park_groups_per_poll: int = 0,
     ):
         """``persistent_read_cache`` (delta-KV dispatches only): keep a
         contiguous [L, B, max_len] mirror of every slot's KV alive across
@@ -1826,7 +1851,7 @@ class PagedInferenceEngine(InferenceEngine):
             staged_cache=staged_cache, min_stage=min_stage,
             admission_policy=admission_policy, delta_kv=delta_kv,
             prefill_ahead=prefill_ahead, park_rows=park_rows,
-            park_len=park_len,
+            park_len=park_len, park_groups_per_poll=park_groups_per_poll,
         )
 
     def _make_cache(self):
@@ -1956,6 +1981,14 @@ class PagedInferenceEngine(InferenceEngine):
         """Scatter small cache rows through per-row block tables [k, nb].
         Rows whose request owns fewer than ``nb`` blocks route the surplus
         bucket padding to the reserved sink block 0."""
+        if self.read_cache is not None and not self.enable_prefix_cache:
+            # persistent mirror + no prefix cache: nothing ever reads the
+            # pool's PROMPT rows either (suffix admissions exist only with
+            # the prefix cache), so the pool is pure block accounting and
+            # the through-table scatter is skipped — paged admission then
+            # costs what contiguous admission costs (round-5 probe: the
+            # table scatter was +24 ms per group-8 prefill)
+            return cache
         (tables,) = extra
         bs = self.block_size
         nb = bucket // bs
@@ -2059,6 +2092,8 @@ class PagedInferenceEngine(InferenceEngine):
     def _attach_scatter(self, cache, park_cache, rows, slots, *extra):
         """Scatter park rows' KV through the slots' fresh block tables
         (columns past a short allocation route to the sink block)."""
+        if self.read_cache is not None and not self.enable_prefix_cache:
+            return cache  # accounting-only pool — see _scatter_prefill
         (tables,) = extra
         bs = self.block_size
         nb = self.park_len // bs

@@ -43,19 +43,20 @@ def causal_attention(
     MXU-tiled); otherwise XLA's fused attention.
     """
     n_rep = q.shape[2] // k.shape[2]
-    if implementation == "tpu_flash" or (
+    if implementation == "tpu_flash":
+        # JAX's bundled TPU flash kernel (fwd + Pallas dkv/dq backward).
+        # MEASURED NEGATIVE at this model's shapes (round 5,
+        # bench_logs/xprof_train_r5): at head_dim 64 / batch 2 the bwd
+        # kernels alone cost 58% of the train step — 6088 tok/s vs 7470
+        # for the default below, whose "naive" XLA backward XLA fuses
+        # into MXU convolution fusions. Kept selectable for larger-head
+        # configs where it may win.
+        return _tpu_flash_causal(q, k, v, n_rep)
+    if implementation == "pallas" or (
         implementation is None
         and q.shape[1] >= 1024
         and jax.default_backend() not in ("cpu",)
     ):
-        # JAX's bundled TPU flash kernel: fwd AND a real Pallas backward.
-        # Our own kernel (ops/pallas_attention.py) has a flash fwd but its
-        # custom-vjp backward falls back to reference attention — the r4
-        # training trace showed that backward materializing
-        # f32[B*H, S, S] score tensors for ~25% of the train step
-        # (tools/xplane_summary.py on bench_logs/xprof_train).
-        return _tpu_flash_causal(q, k, v, n_rep)
-    if implementation == "pallas":
         from tts_max_tpu.ops.pallas_attention import flash_attention
 
         return flash_attention(q, k, v, causal=True)
