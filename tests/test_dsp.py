@@ -103,3 +103,27 @@ def test_activation1d_fused_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
         )
+
+
+def test_snake_impl_variants_match(monkeypatch):
+    """TTS_MAX_SNAKE_IMPL experiments must match the fp32 reference:
+    'transpose' exactly (same math, different layout), 'bf16'/'bf16t' to
+    bf16 tolerance (downstream FSQ quantizes to 4 levels per dim)."""
+    import numpy as np
+
+    from tts_max_tpu.models.codec import filters
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 257, 48)).astype(np.float32))
+    alpha = jnp.asarray(rng.normal(size=(48,)).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.normal(size=(48,)).astype(np.float32) * 0.3)
+    ref = filters.snake_beta(x, alpha, beta)
+    monkeypatch.setenv("TTS_MAX_SNAKE_IMPL", "transpose")
+    np.testing.assert_allclose(
+        np.asarray(filters.snake_beta(x, alpha, beta)),
+        np.asarray(ref), rtol=0, atol=1e-6,
+    )
+    for impl in ("bf16", "bf16t"):
+        monkeypatch.setenv("TTS_MAX_SNAKE_IMPL", impl)
+        got = np.asarray(filters.snake_beta(x, alpha, beta))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=0.05)

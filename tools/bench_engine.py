@@ -238,6 +238,14 @@ def main():
         f"({r['tokens']} toks in {r['wall_s']:.1f}s)",
         flush=True,
     )
+    st = engine.stats()
+    print(
+        f"engine stats: decode dispatches {st['dispatches_per_stage']}, "
+        f"completed {st['completed_requests']}"
+        + (f", parked {st.get('parked_total', 0)}"
+           if "parked_total" in st else ""),
+        file=sys.stderr, flush=True,
+    )
 
 
 if __name__ == "__main__":

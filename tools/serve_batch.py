@@ -101,6 +101,15 @@ def main(argv=None):
         "immediately — cuts TTFT; costs park-buffer HBM "
         "(BENCHMARKS.md round-5 serving rows)",
     )
+    parser.add_argument("--park_rows", type=int, default=0,
+                        help="prefill-ahead park rows (0 = max_batch); "
+                        "size to the expected queue depth for lowest TTFT")
+    parser.add_argument("--park_len", type=int, default=0,
+                        help="park buffer token capacity "
+                        "(0 = min(512, max_len))")
+    parser.add_argument("--park_groups_per_poll", type=int, default=0,
+                        help="throttle parking (0 = park the whole "
+                        "eligible queue at once)")
     parser.add_argument(
         "--admission_policy", choices=["fifo", "shortest"], default="fifo",
         help="'shortest' = shortest-job-first admission (better TTFT "
@@ -142,6 +151,9 @@ def main(argv=None):
         staged_cache=not args.no_staged_cache,
         admission_policy=args.admission_policy,
         prefill_ahead=args.prefill_ahead,
+        park_rows=args.park_rows or None,
+        park_len=args.park_len or None,
+        park_groups_per_poll=args.park_groups_per_poll,
     )
     dev_params = jax.tree_util.tree_map(jnp.asarray, params)
     if args.engine == "paged":

@@ -401,6 +401,9 @@ def build_server(args) -> TtsServer:
         staged_cache=not getattr(args, "no_staged_cache", False),
         admission_policy=getattr(args, "admission_policy", "fifo"),
         prefill_ahead=getattr(args, "prefill_ahead", False),
+        park_rows=getattr(args, "park_rows", 0) or None,
+        park_len=getattr(args, "park_len", 0) or None,
+        park_groups_per_poll=getattr(args, "park_groups_per_poll", 0),
     )
     if getattr(args, "engine", "contiguous") == "paged":
         engine = PagedInferenceEngine(
@@ -455,6 +458,15 @@ def main(argv=None):
         "immediately — cuts TTFT; costs park-buffer HBM "
         "(BENCHMARKS.md round-5 serving rows)",
     )
+    parser.add_argument("--park_rows", type=int, default=0,
+                        help="prefill-ahead park rows (0 = max_batch); "
+                        "size to the expected queue depth for lowest TTFT")
+    parser.add_argument("--park_len", type=int, default=0,
+                        help="park buffer token capacity "
+                        "(0 = min(512, max_len))")
+    parser.add_argument("--park_groups_per_poll", type=int, default=0,
+                        help="throttle parking (0 = park the whole "
+                        "eligible queue at once)")
     parser.add_argument(
         "--admission_policy", choices=["fifo", "shortest"], default="fifo",
         help="'shortest' = shortest-job-first admission (better TTFT "

@@ -271,6 +271,11 @@ class InferenceEngine:
             self.park_counts = jnp.zeros(
                 (self.park_rows, logits_width), jnp.int32
             )
+            # preview tokens land in ONE fixed-shape device buffer so the
+            # host drains any number of pending park groups with a single
+            # [park_rows] fetch (per-group fetches cost ~28 ms relay RTT
+            # each; concatenating varying group counts recompiled mid-run)
+            self.park_preview = jnp.zeros((self.park_rows,), jnp.int32)
             self._free_park_rows = list(range(self.park_rows))
             self._park_cache_jits: dict = {}
             self._attach_cache_jits: dict = {}
@@ -401,6 +406,7 @@ class InferenceEngine:
                 k: shard_kv(v) for k, v in self.park_cache.items()
             }
             self.park_counts = jax.device_put(self.park_counts, rep)
+            self.park_preview = jax.device_put(self.park_preview, rep)
         for name in ("lengths", "last_logits", "active", "token_counts",
                      "gen_counts", "rngs", "eos_ids", "budgets",
                      "min_tokens", "prompt_lens"):
@@ -869,7 +875,7 @@ class InferenceEngine:
         if key not in self._park_cache_jits:
             lo = self.vocab_window[0] if self.vocab_window else 0
 
-            def fn(params, park_cache, park_counts, tokens,
+            def fn(params, park_cache, park_counts, park_preview, tokens,
                    ns, rows, seeds, meta_rows):
                 small = llama.init_kv_cache(
                     self.cfg, g, bucket, quantized=self.quantized_kv
@@ -910,10 +916,11 @@ class InferenceEngine:
                     sample_keys, logits, bsp_g, counts,
                     jnp.zeros_like(counts),
                 )
-                return park_cache, park_counts, toks_w + lo
+                park_preview = park_preview.at[rows].set(toks_w + lo)
+                return park_cache, park_counts, park_preview
 
             self._park_cache_jits[key] = jax.jit(
-                fn, donate_argnums=(1, 2)
+                fn, donate_argnums=(1, 2, 3)
             )
         return self._park_cache_jits[key]
 
@@ -975,34 +982,29 @@ class InferenceEngine:
 
                 self.bsp = dataclasses.replace(self.bsp, use_top_p=True)
         (self.park_cache, self.park_counts,
-         toks) = self._park_fn(bucket, g)(
+         self.park_preview) = self._park_fn(bucket, g)(
             self.params, self.park_cache,
-            self.park_counts, padded, ns, rows, seeds, meta,
+            self.park_counts, self.park_preview, padded, ns, rows, seeds,
+            meta,
         )
         # do NOT fetch the preview tokens here: the fetch would block on
-        # the in-flight decode dispatch and stall the pipeline. The futures
-        # are drained by _process_pending_park AFTER the next dispatch is
-        # issued (poll()).
-        self._pending_parks.append((toks, group))
+        # the in-flight decode dispatch and stall the pipeline. The shared
+        # preview buffer is drained by _process_pending_park AFTER the
+        # next dispatch is issued (poll()) — one fixed-shape fetch covers
+        # every pending group.
+        self._pending_parks.append(group)
 
     def _process_pending_park(self) -> None:
         if not self._pending_parks:
             return
         pending, self._pending_parks = self._pending_parks, []
-        if len(pending) == 1:
-            toks_np = np.asarray(pending[0][0])
-        else:
-            # ONE device->host round-trip for all pending park groups: on a
-            # relayed TPU each fetch costs ~25-30 ms un-overlapped, which
-            # at several park groups per poll was most of the aggressive-
-            # parking throughput tax (round-5 measurement)
-            toks_np = np.asarray(
-                jnp.concatenate([t for t, _ in pending])
+        # one [park_rows] fetch serves all pending groups (waits for the
+        # last park program, which was enqueued before the next decode)
+        preview = np.asarray(self.park_preview)
+        for group in pending:
+            self._process_one_park(
+                preview[[row for row, _ in group]], group
             )
-        off = 0
-        for toks, group in pending:
-            self._process_one_park(toks_np[off : off + len(group)], group)
-            off += len(group)
 
     def _process_one_park(self, toks_np, group) -> None:
         self._parked_total += len(group)
@@ -1221,14 +1223,15 @@ class InferenceEngine:
                         for _ in range(g)
                     ]
                     (self.park_cache, self.park_counts,
-                     toks) = self._park_fn(bucket, g)(
+                     self.park_preview) = self._park_fn(bucket, g)(
                         self.params, self.park_cache,
-                        self.park_counts, np.zeros((g, bucket), np.int32),
+                        self.park_counts, self.park_preview,
+                        np.zeros((g, bucket), np.int32),
                         np.full((g,), 1, np.int32),
                         np.arange(g, dtype=np.int32),
                         np.zeros((g,), np.int32), self._meta_rows(dummies),
                     )
-                    np.asarray(toks)
+                    np.asarray(self.park_preview)
             for g in self.prefill_group_sizes:
                 if g > self.park_rows or g > self.max_batch:
                     continue

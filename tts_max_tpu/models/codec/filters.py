@@ -175,12 +175,46 @@ def snake(x: jnp.ndarray, alpha: jnp.ndarray, logscale: bool = True) -> jnp.ndar
     return y.astype(x.dtype)
 
 
+def _snake_impl() -> str:
+    import os
+
+    return os.environ.get("TTS_MAX_SNAKE_IMPL", "")
+
+
 def snake_beta(
     x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool = True
 ) -> jnp.ndarray:
-    """x + (1/β)·sin²(αx) (SnakeBeta, activations.py:44-82)."""
+    """x + (1/β)·sin²(αx) (SnakeBeta, activations.py:44-82).
+
+    The round-5 encoder trace (tools/xplane_summary.py on
+    bench_logs/xprof_encode) attributed 58% of acoustic-encode time to
+    this elementwise op: at the early stages' 48/96 channels the NWC
+    layout leaves the TPU VPU's 128 lanes 37% utilized and the fp32 sin
+    is transcendental-bound. ``TTS_MAX_SNAKE_IMPL`` selects measured
+    experiments: ``bf16`` computes the sin in bf16 (|err| <= ~1e-2 on
+    unit-scale activations — the downstream FSQ quantizes to 4 levels per
+    dim, far coarser), ``transpose`` evaluates in [B, C, T] layout
+    (length in the 128-lane minor dim), ``bf16t`` both."""
     a = jnp.exp(alpha) if logscale else alpha
     b = jnp.exp(beta) if logscale else beta
+    impl = _snake_impl()
+    if impl in ("bf16", "bf16t"):
+        dt = jnp.bfloat16
+        xt = x.astype(dt)
+        at = a.astype(dt)
+        inv_b = (1.0 / (b.astype(jnp.float32) + 1e-9)).astype(dt)
+        if impl == "bf16t":
+            xt = xt.swapaxes(-1, -2)  # [B, C, T]
+            y = xt + inv_b[:, None] * jnp.square(jnp.sin(xt * at[:, None]))
+            return y.swapaxes(-1, -2).astype(x.dtype)
+        y = xt + inv_b * jnp.square(jnp.sin(xt * at))
+        return y.astype(x.dtype)
+    if impl == "transpose":
+        xf = x.astype(jnp.float32).swapaxes(-1, -2)  # [B, C, T]
+        af = a.astype(jnp.float32)[:, None]
+        inv_b = (1.0 / (b.astype(jnp.float32) + 1e-9))[:, None]
+        y = xf + inv_b * jnp.square(jnp.sin(xf * af))
+        return y.swapaxes(-1, -2).astype(x.dtype)
     xf = x.astype(jnp.float32)
     y = xf + (1.0 / (b.astype(jnp.float32) + 1e-9)) * jnp.square(
         jnp.sin(xf * a.astype(jnp.float32))
