@@ -128,3 +128,44 @@ def test_quantized_serving_dir_roundtrip(tmp_path):
         toks = jnp.zeros((1, 8), jnp.int32)
         out = llama.forward(loaded, lcfg, toks)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_save_load_roundtrip_bit_exact(tmp_path):
+    """save_model_to_hf_dir -> load_model_from_hf_dir must be the identity
+    on every leaf AND on logits. Round-5 regression: export_llama returns
+    F-contiguous transposed views, and safetensors' numpy writer silently
+    serialized their BASE buffer's byte order — every serving export's
+    layer kernels came back transposed (caught when a converted trained
+    checkpoint produced random-level logits)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_max_tpu.models import hf_import, llama
+
+    cfg = dataclasses.replace(
+        llama.tiny_config(vocab_size=128, max_seq_len=64),
+        use_llama3_rope_scaling=True,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    d = str(tmp_path / "serving")
+    hf_import.save_model_to_hf_dir(params, cfg, d)
+    p2, cfg2 = hf_import.load_model_from_hf_dir(d)
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    assert len(flat1) == len(flat2)
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=jax.tree_util.keystr(path),
+        )
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(3, 128, (2, 32)), jnp.int32
+    )
+    np.testing.assert_allclose(
+        np.asarray(llama.forward(params, cfg, toks)),
+        np.asarray(llama.forward(p2, cfg2, toks)),
+        atol=1e-5,
+    )

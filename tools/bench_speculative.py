@@ -160,20 +160,32 @@ def main():
         )
         ds = TtsFineTuningDataset(
             os.path.basename(args.dataset_dir), samples, codes, spans, tok,
-            max_seq_len=s + 1,
+            max_seq_len=4 * s + 64,
         )
+        from tts_max_tpu.core.tokenization import speech_vocab as _sv
+
+        sv = _sv(tok)
+        # cut each prompt just AFTER <|speech_start|> plus a few speech
+        # tokens, so constrained generation starts ON the speech manifold
+        # (a fixed byte-token cut lands mid-chat-template and the window
+        # constraint then forces near-uniform logits — acceptance becomes
+        # meaningless)
         toks_np = np.zeros((b, s), np.int32)
+        lens_np = np.zeros((b,), np.int32)
         for r in range(b):
-            ids = np.asarray(ds[r % len(ds)]["input_ids"][:s], np.int32)
-            toks_np[r, : len(ids)] = ids
-            if len(ids) < s:  # pad by repeating the tail speech tokens
-                toks_np[r, len(ids):] = ids[-1]
+            ids = np.asarray(ds[r % len(ds)]["input_ids"], np.int32)
+            starts = np.nonzero(ids == sv.speech_start_id)[0]
+            cut = (int(starts[0]) + 9) if len(starts) else len(ids)
+            cut = min(cut, len(ids), s)
+            toks_np[r, :cut] = ids[:cut]
+            lens_np[r] = cut
         toks = jnp.asarray(toks_np)
+        lens = jnp.asarray(lens_np)
     else:
         toks = jnp.asarray(
             rng.integers(lo, lo + 1000, (b, s)).astype(np.int32)
         )
-    lens = jnp.full((b,), s, jnp.int32)
+        lens = jnp.full((b,), s, jnp.int32)
     rtt = fetch_rtt()
     print(f"bench_speculative: {args.arch} {args.quantize} B={b} "
           f"steps={n} draft={dl}L rtt={rtt * 1e3:.1f}ms",

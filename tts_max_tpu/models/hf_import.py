@@ -217,8 +217,14 @@ def save_model_to_hf_dir(
     from safetensors.numpy import save_file
 
     sd = export_llama(params, cfg)
+    # ascontiguousarray is LOAD-BEARING: export_llama's values are
+    # F-contiguous transposed views, and safetensors' numpy writer emits
+    # the base buffer's byte order under a C-order header — every layer
+    # kernel came back TRANSPOSED on reload (caught round 5 when the
+    # trained-draft speculative bench read garbage from a converted
+    # checkpoint; pinned by test_hf_import.py::test_save_load_roundtrip).
     save_file(
-        {k: v.astype(np.float32) for k, v in sd.items()},
+        {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()},
         os.path.join(output_dir, "model.safetensors"),
         metadata={"format": "np"},
     )
