@@ -145,6 +145,13 @@ def main():
     ap.add_argument("--no-persistent-read-cache", action="store_true",
                     help="paged: re-gather the pool span per dispatch "
                          "instead of the persistent contiguous mirror")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="prepend one shared N-token prefix (the common "
+                         "voice prompt) to every request — the prefix-"
+                         "cache showcase load (paged engines reuse its "
+                         "blocks and forward only the suffix)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="paged: enable the automatic prefix cache")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -187,7 +194,8 @@ def main():
     else:
         engine = PagedInferenceEngine(
             params, cfg, block_size=args.block_size,
-            persistent_read_cache=not args.no_persistent_read_cache, **kw
+            persistent_read_cache=not args.no_persistent_read_cache,
+            enable_prefix_cache=args.prefix_cache, **kw
         )
 
     # Mixed-length load: prompts at the 64/128/256 buckets, budgets 50-100%
@@ -196,11 +204,17 @@ def main():
     lo = window[0] if window else 3
     hi = (window[0] + window[1] - 8) if window else cfg.vocab_size
 
+    shared = (rng.integers(lo, hi, args.shared_prefix).astype(np.int32)
+              if args.shared_prefix else None)
+
     def make_load(n, seed_off):
         prompts, budgets = [], []
         for i in range(n):
             plen = int(rng.choice([48, 96, 112, 200, 240]))
-            prompts.append(rng.integers(lo, hi, plen).astype(np.int32))
+            p = rng.integers(lo, hi, plen).astype(np.int32)
+            if shared is not None:
+                p = np.concatenate([shared, p])
+            prompts.append(p)
             budgets.append(int(rng.integers(args.budget // 2, args.budget)))
         return prompts, budgets
 
