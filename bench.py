@@ -73,7 +73,12 @@ def main():
     speech_window = (128264, 65544)
     import os
 
-    delta_k = int(os.environ.get("TTS_MAX_DELTA_K", "32")) or None
+    # delta-KV commit window: the round-5 sweep at this 192-slot cache
+    # measured 8→17848, 12→17662, 16→17825, 20→17155, 24→17479, 32→16722,
+    # 48→15962 tok/s — small windows win at short caches (the delta
+    # attention term scales with K while the commit amortization saturates);
+    # long-form (1824 slots) still prefers 32 (BENCHMARKS.md).
+    delta_k = int(os.environ.get("TTS_MAX_DELTA_K", "16")) or None
     gen = make_generate_fn(
         cfg, sp, max_new_tokens=decode_steps, eos_id=-1,
         cache_len=prompt_len + decode_steps, vocab_window=speech_window,

@@ -147,3 +147,26 @@ def test_warmup_covers_park_and_attach_programs(setup):
     _run(eng, prompts, budgets)
     assert set(eng._park_cache_jits) == park_keys
     assert set(eng._attach_cache_jits) == attach_keys
+
+
+def test_cancel_pending_park_group(setup):
+    """Cancel a request whose park group is in flight (preview not yet
+    fetched): the id must cancel cleanly, its park row must recycle, and
+    the other requests must be unaffected."""
+    cfg, params = setup
+    eng = InferenceEngine(params, cfg, max_batch=1, max_len=128,
+                          sp=_greedy_sp(), steps_per_dispatch=4,
+                          min_stage=32, prefill_ahead=True, park_rows=4)
+    occupant = eng.submit(np.arange(3, 20, dtype=np.int32), 40, eos_id=-1)
+    victim = eng.submit(np.array([5, 6, 7], np.int32), 30, eos_id=-1)
+    other = eng.submit(np.array([9, 10, 11], np.int32), 20, eos_id=-1)
+    # first poll issues the park program for victim+other; cancel while
+    # the preview future is pending
+    eng._admit()
+    assert eng._pending_parks
+    assert eng.cancel(victim)
+    done = list(eng.run())
+    by_id = {c.request_id for c in done}
+    assert victim not in by_id
+    assert occupant in by_id and other in by_id
+    assert len(eng._free_park_rows) == 4

@@ -462,6 +462,15 @@ class InferenceEngine:
                 del self._parked_entries[i]
                 self._free_park_rows.append(entry.row)
                 return True
+        for group in self._pending_parks:
+            for j, (row, req) in enumerate(group):
+                if req.request_id == request_id:
+                    # in-flight park group (preview not yet fetched): the
+                    # preview lookup is row-keyed, so dropping the member
+                    # is safe; its park program's writes become dead rows
+                    del group[j]
+                    self._free_park_rows.append(row)
+                    return True
         for i, slot in enumerate(self._slots):
             if slot.request is not None and slot.request.request_id == request_id:
                 slot.request = None
