@@ -418,6 +418,17 @@ def build_server(args) -> TtsServer:
         log.info("Warmup: compiling prefill/decode programs ...")
         t_w = time.time()
         engine.warmup()
+        # streaming-chunk Vocos shapes: the /stream default granularity
+        # (chunk 25 + crossfade 4, then context 50 + chunk + crossfade)
+        # compiles the decoder at NEW shapes — ~160 s through the relay if
+        # it happens on the first live stream (bench_logs r5)
+        import numpy as _np
+
+        for n in (29, 79):
+            try:
+                decoder.decode(_np.zeros((n,), _np.int64))
+            except Exception:  # tiny smoke decoders may reject shapes
+                break
         log.info("Warmup done in %.1fs", time.time() - t_w)
     return TtsServer(engine, tokenizer, sv, encoder, decoder,
                      args.max_tokens, args.max_len)
