@@ -79,7 +79,7 @@ def main(argv=None):
     parser.add_argument("--no_constrain", action="store_true",
                         help="disable the speech-window sampling constraint")
     parser.add_argument(
-        "--steps_per_dispatch", type=int, default=32,
+        "--steps_per_dispatch", type=int, default=0,
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "
         "amortizes the ~28ms host round-trip and is required for int4 "
         "weights to run at speed; a freed slot idles at most K-1 steps",
@@ -147,7 +147,9 @@ def main(argv=None):
     kw = dict(
         max_batch=args.max_batch, max_len=args.max_len,
         quantized_kv=args.quantized_kv, vocab_window=window,
-        steps_per_dispatch=args.steps_per_dispatch,
+        steps_per_dispatch=args.steps_per_dispatch or (
+            32 if getattr(args, "engine", "contiguous") == "paged" else 16
+        ),
         staged_cache=not args.no_staged_cache,
         admission_policy=args.admission_policy,
         prefill_ahead=args.prefill_ahead,

@@ -397,7 +397,9 @@ def build_server(args) -> TtsServer:
     kw = dict(
         max_batch=args.max_batch, max_len=args.max_len,
         quantized_kv=args.quantized_kv, vocab_window=window,
-        steps_per_dispatch=args.steps_per_dispatch,
+        steps_per_dispatch=args.steps_per_dispatch or (
+            32 if getattr(args, "engine", "contiguous") == "paged" else 16
+        ),
         staged_cache=not getattr(args, "no_staged_cache", False),
         admission_policy=getattr(args, "admission_policy", "fifo"),
         prefill_ahead=getattr(args, "prefill_ahead", False),
@@ -486,10 +488,12 @@ def main(argv=None):
     parser.add_argument("--no_staged_cache", action="store_true",
                         help="disable staged (occupancy-sized) dispatches")
     parser.add_argument(
-        "--steps_per_dispatch", type=int, default=32,
+        "--steps_per_dispatch", type=int, default=0,
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "
         "amortizes the ~28ms host round-trip and is required for int4 "
-        "weights to run at speed; admission/TTFT granularity is K steps",
+        "weights to run at speed; admission/TTFT granularity is K steps. "
+        "0 = auto (16 contiguous / 32 paged — the measured optima, "
+        "BENCHMARKS.md round 5)",
     )
     args = parser.parse_args(argv)
     setup_logging(0)
