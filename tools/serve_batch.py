@@ -148,7 +148,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_len=args.max_len,
         quantized_kv=args.quantized_kv, vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch or (
-            32 if getattr(args, "engine", "contiguous") == "paged" else 16
+            32 if getattr(args, "prefill_ahead", False) else 16
         ),
         staged_cache=not args.no_staged_cache,
         admission_policy=args.admission_policy,

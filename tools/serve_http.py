@@ -398,7 +398,7 @@ def build_server(args) -> TtsServer:
         max_batch=args.max_batch, max_len=args.max_len,
         quantized_kv=args.quantized_kv, vocab_window=window,
         steps_per_dispatch=args.steps_per_dispatch or (
-            32 if getattr(args, "engine", "contiguous") == "paged" else 16
+            32 if getattr(args, "prefill_ahead", False) else 16
         ),
         staged_cache=not getattr(args, "no_staged_cache", False),
         admission_policy=getattr(args, "admission_policy", "fifo"),
@@ -492,8 +492,8 @@ def main(argv=None):
         help="decode steps per jitted dispatch (K-step lax.scan). >1 "
         "amortizes the ~28ms host round-trip and is required for int4 "
         "weights to run at speed; admission/TTFT granularity is K steps. "
-        "0 = auto (16 contiguous / 32 paged — the measured optima, "
-        "BENCHMARKS.md round 5)",
+        "0 = auto (16; 32 with --prefill_ahead — the measured "
+        "optima, BENCHMARKS.md round 5)",
     )
     args = parser.parse_args(argv)
     setup_logging(0)

@@ -1338,9 +1338,14 @@ class InferenceEngine:
                      min_tokens, prompt_lens, table=None, *, stage=None):
         """One lockstep decode over the whole pool (masked inactive slots).
 
-        ``stage`` is ignored here: slicing the cache costs 2 stage-sized
-        copies per program, which only amortizes over multi-step dispatches
-        (the paged table, pre-sliced by the caller, still applies)."""
+        ``stage`` is ignored for the cache here: slicing it costs 2
+        stage-sized copies per program, which only amortizes over
+        multi-step dispatches. The paged table still narrows to the
+        stage's page span (static in-program slice; the table arrives
+        full-width — see _table_device)."""
+        if table is not None and stage is not None:
+            w = -(-stage // llama.paged_block_size(cache))
+            table = table[:, :w]
         b = self.max_batch
         lo = self.vocab_window[0] if self.vocab_window else 0
         keys = jax.vmap(lambda k: jax.random.split(k))(rngs)
@@ -1414,6 +1419,11 @@ class InferenceEngine:
         from tts_max_tpu.models.quantization import unpack_packed_params
 
         params = unpack_packed_params(params)
+        if table is not None and stage is not None:
+            # static in-program slice to the stage's page span (the table
+            # arrives full-width; see _table_device)
+            w = -(-stage // llama.paged_block_size(cache))
+            table = table[:, :w]
         if self.delta_kv:
             return self._decode_multi_delta(
                 params, cache, read_cache, last_logits, lengths, active,
@@ -1842,7 +1852,6 @@ class PagedInferenceEngine(InferenceEngine):
         self._table = np.zeros((max_batch, self.table_width), dtype=np.int32)
         self._table_dirty = True
         self._table_dev = None
-        self._table_dev_w = -1
         # --- prefix cache state ---
         self.enable_prefix_cache = enable_prefix_cache
         self._refs = np.zeros((self.num_blocks,), dtype=np.int64)
@@ -1974,18 +1983,17 @@ class PagedInferenceEngine(InferenceEngine):
         self._free_block_list(blocks)
 
     def _table_device(self, stage=None):
-        # upload the block table only when it changed, not per dispatch;
-        # under a staged dispatch only the first ceil(stage/bs) columns ride
-        # along — the attention kernels' page walk (and the XLA gather)
-        # scales with table width, so this is the paged analog of the
-        # contiguous engine's cache-slice staging, with no copy at all
-        w = (self.table_width if stage is None
-             else -(-stage // self.block_size))
-        if self._table_dirty or w != self._table_dev_w:
+        # upload the FULL-width block table, and only when it changed: the
+        # per-stage width used to be sliced host-side, which re-uploaded
+        # the table whenever the dispatch stage oscillated (~25 ms of
+        # relay round-trip per dispatch — most of the paged K=16
+        # regression measured round 5). The decode programs now slice the
+        # static per-stage width in-program (free), so the narrow page
+        # walk is preserved without any host traffic.
+        if self._table_dirty:
             self._table_dev = jnp.asarray(
-                np.ascontiguousarray(self._table[:, :w])
+                np.ascontiguousarray(self._table)
             )
-            self._table_dev_w = w
             self._table_dirty = False
         return self._table_dev
 
